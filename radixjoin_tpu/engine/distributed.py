@@ -1,0 +1,146 @@
+"""Distributed 4-phase hash join over a TPU mesh.
+
+TPU-native replacement for the reference's full distributed pipeline
+(operators/HashJoin.cpp:45-223, call stack at SURVEY.md §3.1):
+
+  phase 1  HistogramComputation  -> compute_metadata (psum/all_gather exscan)
+  phase 2  Window allocation     -> implicit: the all_to_all's static recv
+                                    buffers ARE the windows (no allocation
+                                    phase; XLA pre-plans the exchange)
+  phase 3  NetworkPartitioning   -> shuffle_by_destination (ICI all-to-all)
+  phase 4  Local processing      -> local radix partition + tiered Pallas
+                                    probe per shard; RESULT_COUNTER psum
+
+The whole 4-phase program is ONE jit-compiled SPMD function over a 1-D mesh —
+the reference's MPI barriers (HashJoin.cpp:50,120) dissolve into XLA's
+dataflow; its serial per-rank task queue (HashJoin.cpp:187-204) becomes the
+Pallas grid of the probe kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import JoinConfig, DEFAULT_CONFIG
+from ..data.tuples import Relation, radix_bits
+from ..ops.buildprobe import probe_count_tiered
+from ..ops.partition import partition_relation
+from ..parallel.metadata import compute_metadata
+from ..parallel.shuffle import shuffle_by_destination, shuffle_chunked
+
+
+class DistributedJoinResult(NamedTuple):
+    partial_matches: jnp.ndarray  # int32[D] per-device partitioned matches
+    ok: jnp.ndarray               # bool[D] no shuffle/tier overflow
+    global_hist_r: jnp.ndarray    # int32[P_net] phase-1 observability
+    global_hist_s: jnp.ndarray
+
+
+def total_distributed_matches(res: DistributedJoinResult) -> int:
+    """Host-side 64-bit aggregation at the 'result aggregation node'
+    (reference Configuration.h:19, Measurements.cpp:546-606)."""
+    return int(np.sum(np.asarray(res.partial_matches, dtype=np.int64)))
+
+
+def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
+                          cfg: JoinConfig = DEFAULT_CONFIG,
+                          local_bits: int | None = None,
+                          shuffle_rounds: int = 1):
+    """Build the jitted SPMD join for given static per-shard sizes.
+
+    Returns fn(r: Relation, s: Relation) -> DistributedJoinResult where the
+    relations are sharded along the mesh axis (row-sharded SoA arrays).
+    """
+    axis = cfg.mesh_axis
+    n_dev = mesh.devices.size
+    net_bits = cfg.network_fanout_bits
+    p_net = 1 << net_bits
+    assert p_net >= n_dev, (
+        f"network fanout {p_net} must cover {n_dev} devices")
+    cap_r = cfg.shuffle_capacity(n_r_shard, n_dev)
+    cap_s = cfg.shuffle_capacity(n_s_shard, n_dev)
+    if shuffle_rounds > 1:
+        # round-sliced exchange needs divisibility
+        cap_r = ((cap_r + shuffle_rounds - 1) // shuffle_rounds) * shuffle_rounds
+        cap_s = ((cap_s + shuffle_rounds - 1) // shuffle_rounds) * shuffle_rounds
+
+    if local_bits is None:
+        recv_mean_r = cap_r * n_dev
+        from .join import auto_fanout_bits
+        local_bits = auto_fanout_bits(recv_mean_r)
+    p_local = 1 << local_bits
+
+    def shard_fn(rk, rr, sk, sr):
+        # ---- phase 1: histograms / assignment / offsets ----
+        pid_r = radix_bits(rk, net_bits)
+        pid_s = radix_bits(sk, net_bits)
+        meta_r = compute_metadata(pid_r, p_net, axis)
+        meta_s = compute_metadata(pid_s, p_net, axis)
+
+        # ---- phase 3: network partitioning (ICI all-to-all) ----
+        dest_r = meta_r.assignment[pid_r]
+        dest_s = meta_s.assignment[pid_s]
+        if shuffle_rounds > 1:
+            shuf_r = shuffle_chunked(rk, rr, dest_r, cap_r, axis,
+                                     shuffle_rounds)
+            shuf_s = shuffle_chunked(sk, sr, dest_s, cap_s, axis,
+                                     shuffle_rounds)
+        else:
+            shuf_r = shuffle_by_destination(rk, rr, dest_r, cap_r, axis)
+            shuf_s = shuffle_by_destination(sk, sr, dest_s, cap_s, axis)
+
+        # all-tuples-written invariant (data/Window.cpp:180-191): every
+        # tuple this shard received is valid-marked; counts must reconcile.
+        recv_r = jnp.sum(shuf_r.valid.astype(jnp.int32))
+        expected_r = jnp.sum(
+            jnp.where(meta_r.assignment == jax.lax.axis_index(axis),
+                      meta_r.global_hist, 0))
+        ok = (recv_r == expected_r) & ~shuf_r.overflow & ~shuf_s.overflow
+
+        # ---- phase 4: local processing (second radix pass + probe) ----
+        # Local radix bits sit ABOVE the network bits (reference
+        # LocalPartitioning's MASK over value bits [32..37),
+        # tasks/LocalPartitioning.cpp:147-149): the network bits are constant
+        # within an owned partition, so only higher bits spread the data.
+        r_rel = Relation(shuf_r.keys, shuf_r.rids)
+        s_rel = Relation(shuf_s.keys, shuf_s.rids)
+        r_part = partition_relation(r_rel, local_bits, net_bits, ~shuf_r.valid)
+        s_part = partition_relation(s_rel, local_bits, net_bits, ~shuf_s.valid)
+        pcap_r = cfg.partition_capacity(cap_r * n_dev, p_local)
+        pcap_s = cfg.partition_capacity(cap_s * n_dev, p_local)
+        matches, tiers_ok = probe_count_tiered(
+            r_part, s_part, pcap_r, pcap_s,
+            tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
+
+        return (matches[None].astype(jnp.int32),
+                (ok & tiers_ok)[None],
+                meta_r.global_hist, meta_s.global_hist)
+
+    sharded = NamedSharding(mesh, P(axis))
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(), P()),
+        # check_vma must be off: pallas_call out_shapes carry no varying-
+        # mesh-axis annotation, and the replicated global histograms are
+        # psum results the checker can't always prove replicated.
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(r: Relation, s: Relation) -> DistributedJoinResult:
+        rk = jax.lax.with_sharding_constraint(r.keys, sharded)
+        rr = jax.lax.with_sharding_constraint(r.rids, sharded)
+        sk = jax.lax.with_sharding_constraint(s.keys, sharded)
+        sr = jax.lax.with_sharding_constraint(s.rids, sharded)
+        m, ok, gr, gs = mapped(rk, rr, sk, sr)
+        return DistributedJoinResult(m, ok, gr, gs)
+
+    return run

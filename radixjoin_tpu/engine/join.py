@@ -1,0 +1,160 @@
+"""Single-chip hash-join orchestration.
+
+TPU-native replacement for the reference's operator/control plane:
+``HashJoin::join`` (operators/HashJoin.cpp:45-223) phase structure, minus the
+network phases (those live in engine/distributed.py).  Where the reference
+drains a serial task queue of per-partition BuildProbe/GPUWrapper tasks
+(operators/HashJoin.cpp:187-204), the TPU engine expresses the whole phase
+pipeline as one jit-compiled function — the "task queue" is the Pallas grid.
+
+Modes (reference compile-time forks become runtime strategy choices):
+  - ``partitioned``  — radix partition + tiered padded Pallas probe
+                       (GPUWrapper/simple_hash_join_eth path, eth.cu:111-234)
+  - ``sortmerge``    — global key-sort + vectorised binary-search count
+                       (always-correct fallback; also the materialising path)
+  - ``auto``         — partitioned with heavy-key skew pre-pass
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import JoinConfig, DEFAULT_CONFIG
+from ..data.tuples import Relation
+from ..ops import skew as skew_ops
+from ..ops.buildprobe import (probe_count_sorted, probe_count_tiered,
+                              join_materialize)
+from ..ops.partition import partition_relation
+from ..ops.sort import sort_relation
+
+
+class JoinResult(NamedTuple):
+    """Device-side join outputs; aggregate with :func:`total_matches`."""
+    matches: jnp.ndarray       # int32 partitioned-path matches
+    heavy_matches: jnp.ndarray  # int32[K] per-heavy-key match products
+    ok: jnp.ndarray            # bool: no partition overflowed its tier
+
+
+def total_matches(res: JoinResult) -> int:
+    """64-bit host-side aggregation (the reference's uint64 RESULT_COUNTER,
+    operators/HashJoin.cpp:28; final sum at rank 0, Measurements.cpp:599-606).
+    """
+    return int(np.int64(np.asarray(res.matches))
+               + np.sum(np.asarray(res.heavy_matches, dtype=np.int64)))
+
+
+def auto_fanout_bits(n: int, target_mean: int = 1024, max_bits: int = 20) -> int:
+    """Radix bits so the mean partition is ~target_mean tuples (plays the
+    role of the reference's fixed NETWORK+LOCAL fanout choice,
+    core/Configuration.h:30-34, scaled to the input)."""
+    bits = max(1, (max(2, n // target_mean) - 1).bit_length())
+    return min(bits, max_bits)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "bits", "skew_aware", "mode", "shift"))
+def join_count(r: Relation, s: Relation,
+               cfg: JoinConfig = DEFAULT_CONFIG,
+               bits: int | None = None,
+               skew_aware: bool = False,
+               mode: str = "partitioned",
+               prng_seed: int = 0,
+               shift: int = 0,
+               r_valid_count=None,
+               s_valid_count=None) -> JoinResult:
+    """Count equi-join matches |{(i,j) : r.keys[i] == s.keys[j]}|.
+
+    Phase structure (cf. HashJoin.cpp:45-223):
+      1. (skew pre-pass) heavy-hitter detect + closed-form heavy counts
+      2. histogram+partition both relations  [phases 1+3 of the reference,
+         fused: the sort produces the layout the histogram/offset machinery
+         of the reference only describes]
+      3. per-partition tiered build/probe    [phase 4]
+
+    ``r_valid_count``/``s_valid_count``: optional scalar counts marking a
+    valid prefix (rows beyond are padding — used by the out-of-core driver's
+    fixed-shape chunks).  In sortmerge mode padding rows are remapped to
+    reserved sentinel keys, so the engine key domain is [0, 2^32 - 2).
+    """
+    zero_heavy = jnp.zeros((cfg.max_heavy_keys,), jnp.int32)
+    drop_r = drop_s = None
+    if r_valid_count is not None:
+        drop_r = jnp.arange(r.size, dtype=jnp.int32) >= r_valid_count
+    if s_valid_count is not None:
+        drop_s = jnp.arange(s.size, dtype=jnp.int32) >= s_valid_count
+
+    if mode == "sortmerge":
+        rk = r.keys if drop_r is None else \
+            jnp.where(drop_r, jnp.uint32(0xFFFFFFFF), r.keys)
+        sk = s.keys if drop_s is None else \
+            jnp.where(drop_s, jnp.uint32(0xFFFFFFFE), s.keys)
+        matches = probe_count_sorted(jnp.sort(rk), sk)
+        if drop_r is not None:
+            # sentinel self-matches are impossible (distinct sentinels), but
+            # real keys equal to a sentinel are excluded from the domain.
+            pass
+        return JoinResult(matches, zero_heavy, jnp.bool_(True))
+
+    if bits is None:
+        bits = auto_fanout_bits(max(r.size, s.size))
+    n_parts = 1 << bits
+
+    heavy = zero_heavy
+    if skew_aware:
+        # Padded rows must not pollute frequency estimates or heavy counts:
+        # remap them to side-distinct sentinels (outside the key domain)
+        # before detection; sentinel "heavy keys" then contribute
+        # cr*cs = cr*0 = 0.
+        rk_eff = r.keys if drop_r is None else \
+            jnp.where(drop_r, jnp.uint32(0xFFFFFFFF), r.keys)
+        sk_eff = s.keys if drop_s is None else \
+            jnp.where(drop_s, jnp.uint32(0xFFFFFFFE), s.keys)
+        key_r, key_s = jax.random.split(jax.random.key(prng_seed))
+        hh_r = skew_ops.detect_heavy_keys(rk_eff, key_r, cfg.max_heavy_keys // 2)
+        hh_s = skew_ops.detect_heavy_keys(sk_eff, key_s, cfg.max_heavy_keys // 2)
+        hh = skew_ops.HeavyHitters(
+            jnp.concatenate([hh_r.keys, hh_s.keys]),
+            jnp.concatenate([hh_r.valid, hh_s.valid]))
+        hh = skew_ops.dedup_heavy(hh)
+        hmask_r = skew_ops.heavy_mask(r.keys, hh)
+        hmask_s = skew_ops.heavy_mask(s.keys, hh)
+        drop_r = hmask_r if drop_r is None else (drop_r | hmask_r)
+        drop_s = hmask_s if drop_s is None else (drop_s | hmask_s)
+        _, _, heavy = skew_ops.heavy_match_count(rk_eff, sk_eff, hh)
+
+    r_part = partition_relation(r, bits, shift, drop_r)
+    s_part = partition_relation(s, bits, shift, drop_s)
+
+    cap_r = cfg.partition_capacity(r.size, n_parts)
+    cap_s = cfg.partition_capacity(s.size, n_parts)
+    matches, ok = probe_count_tiered(
+        r_part, s_part, cap_r, cap_s,
+        tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
+    return JoinResult(matches, heavy, ok)
+
+
+def join_count_checked(r: Relation, s: Relation,
+                       cfg: JoinConfig = DEFAULT_CONFIG, **kw) -> int:
+    """join_count + overflow escalation: if any partition overflowed the
+    capacity tiers (extreme skew without skew_aware, or adversarial hashing),
+    rerun via the always-correct sort-merge path — the runtime analogue of
+    the reference's JOIN_ASSERT invariants (data/Window.cpp:180-191)."""
+    res = join_count(r, s, cfg, **kw)
+    if not bool(res.ok):
+        kw2 = {k: v for k, v in kw.items()
+               if k in ("r_valid_count", "s_valid_count")}
+        res = join_count(r, s, cfg, mode="sortmerge", **kw2)
+    return total_matches(res)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def join_rows(r: Relation, s: Relation, max_out: int):
+    """Materialising join: (r_rid, s_rid) pairs (reference `probe`,
+    kernels.cu:199-246).  Static output bound ``max_out``; see
+    ops/buildprobe.join_materialize for overflow semantics."""
+    return join_materialize(r.keys, r.rids, s.keys, s.rids, max_out)

@@ -1,0 +1,133 @@
+"""ctypes bindings for the native host runtime (libradixjoin_native.so).
+
+Auto-builds with `make` on first use if the shared library is missing (the
+toolchain is a build requirement, like the reference's mpicxx/nvcc).  Every
+entry point has a NumPy fallback so the pure-Python path keeps working on
+hosts without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libradixjoin_native.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True)
+        except (subprocess.CalledProcessError, OSError) as e:
+            print(f"[radixjoin.native] build failed, using numpy fallback: {e}",
+                  file=sys.stderr)
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        print(f"[radixjoin.native] load failed, using numpy fallback: {e}",
+              file=sys.stderr)
+        _lib = False
+        return _lib
+
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.fill_unique.argtypes = [u32p, u32p, ctypes.c_uint64,
+                                ctypes.c_uint32, ctypes.c_uint64]
+    lib.fill_modulo.argtypes = [u32p, u32p, ctypes.c_uint64, ctypes.c_uint32,
+                                ctypes.c_uint64, ctypes.c_uint64]
+    lib.fill_zipf.argtypes = [u32p, u32p, ctypes.c_uint64, ctypes.c_uint64,
+                              ctypes.c_double, ctypes.c_uint64]
+    lib.join_count_oracle.argtypes = [u32p, ctypes.c_uint64, u32p,
+                                      ctypes.c_uint64]
+    lib.join_count_oracle.restype = ctypes.c_uint64
+    lib.arena_create.argtypes = [ctypes.c_uint64]
+    lib.arena_create.restype = ctypes.c_void_p
+    lib.arena_alloc.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.arena_alloc.restype = ctypes.c_void_p
+    lib.arena_reset.argtypes = [ctypes.c_void_p]
+    lib.arena_used.argtypes = [ctypes.c_void_p]
+    lib.arena_used.restype = ctypes.c_uint64
+    lib.arena_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def fill_unique(n: int, start_key: int = 0, seed: int = 0):
+    keys = np.empty(n, np.uint32)
+    rids = np.empty(n, np.uint32)
+    lib = _load()
+    if lib:
+        lib.fill_unique(_ptr(keys), _ptr(rids), n, start_key, seed)
+    else:
+        rng = np.random.default_rng(seed)
+        keys[:] = rng.permutation(n).astype(np.uint32) + np.uint32(start_key)
+        rids[:] = np.arange(n, dtype=np.uint32)
+    return keys, rids
+
+
+def fill_modulo(n: int, inner: int, start_key: int = 0, seed: int = 0):
+    keys = np.empty(n, np.uint32)
+    rids = np.empty(n, np.uint32)
+    lib = _load()
+    if lib:
+        lib.fill_modulo(_ptr(keys), _ptr(rids), n, start_key, inner, seed)
+    else:
+        rng = np.random.default_rng(seed)
+        keys[:] = (np.arange(n, dtype=np.uint64) % inner + start_key
+                   ).astype(np.uint32)
+        rng.shuffle(keys)
+        rids[:] = np.arange(n, dtype=np.uint32)
+    return keys, rids
+
+
+def fill_zipf(n: int, domain: int, theta: float = 1.05, seed: int = 0):
+    keys = np.empty(n, np.uint32)
+    rids = np.empty(n, np.uint32)
+    lib = _load()
+    if lib:
+        lib.fill_zipf(_ptr(keys), _ptr(rids), n, domain, theta, seed)
+    else:
+        rng = np.random.default_rng(seed)
+        th = theta if theta != 1.0 else 1.0001
+        one_m = 1.0 - th
+        h_max = (float(domain) ** one_m - 1.0) / one_m
+        u = rng.random(n)
+        rank = (1.0 + u * h_max * one_m) ** (1.0 / one_m)
+        keys[:] = np.minimum(rank.astype(np.uint64), domain - 1
+                             ).astype(np.uint32)
+        rids[:] = np.arange(n, dtype=np.uint32)
+    return keys, rids
+
+
+def join_count_oracle(r_keys: np.ndarray, s_keys: np.ndarray) -> int:
+    """Exact match count (native hash join; numpy fallback)."""
+    lib = _load()
+    r_keys = np.ascontiguousarray(r_keys, np.uint32)
+    s_keys = np.ascontiguousarray(s_keys, np.uint32)
+    if lib:
+        return int(lib.join_count_oracle(_ptr(r_keys), r_keys.shape[0],
+                                         _ptr(s_keys), s_keys.shape[0]))
+    r_u, r_c = np.unique(r_keys, return_counts=True)
+    s_u, s_c = np.unique(s_keys, return_counts=True)
+    _, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
+    return int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))

@@ -1,0 +1,322 @@
+"""Per-partition join build/probe kernels.
+
+TPU-native replacement for the reference's local-join machinery:
+  - CPU bucket-chained hash table (tasks/BuildProbe.cpp:47-118): calloc'd
+    ``hashTableBucket``/``hashTableNext`` chains, pointer-chasing probe,
+    count-only result into the static RESULT_COUNTER.
+  - GPU bucketed build/probe (operators/gpu/eth.cu:25-109 build/probe_kernel_eth,
+    eth.cu:237-376 fused shared-memory variant), count-only probes
+    (kernels.cu:423-463 probe_count), materialising probes
+    (kernels.cu:199-246 probe, kernels.cu:314-411 probe_match_rate).
+
+A chained hash walk serialises on a TPU, so the probe is re-cast in two
+vector-friendly forms:
+
+  * **Tiled broadcast-compare** (Pallas, `probe_count_partitioned`): after
+    radix partitioning the mean partition fits VMEM; each grid step compares a
+    lane-tile of S keys against the whole R partition on the VPU and reduces.
+    This is the moral equivalent of the GPU's block-per-partition probe with
+    the R partition in ``__shared__`` (kernels.cu:199-246) — VMEM plays the
+    role of shared memory, the 8x128 VPU the role of the warp.
+  * **Sort-merge** (`probe_count_sorted` / `join_materialize`): with both
+    sides key-sorted, matches fall out of two vectorised binary searches
+    (lo = leftmost, hi = rightmost); duplicate keys on both sides are handled
+    by the [lo, hi) range product.  This is the scatter-free path used as the
+    engine-level oracle and for output materialisation.
+
+All probes return **per-partition match counts** (like probe_count,
+kernels.cu:423-463); callers aggregate on host in 64-bit (the reference's
+uint64 RESULT_COUNTER, operators/HashJoin.cpp:28).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.backend import pallas_interpret
+from .partition import PartitionedRelation, gather_padded
+from .skew import partition_tiers
+
+
+# ---------------------------------------------------------------------------
+# jnp reference paths (sort-merge)
+# ---------------------------------------------------------------------------
+
+def probe_count_sorted(r_keys_sorted: jnp.ndarray, s_keys: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Exact equi-join match count: sum over S of |{r : r == s}|.
+
+    ``r_keys_sorted`` must be ascending.  Handles duplicates on both sides.
+    Returns int32 (per-call totals stay < 2^31 by partitioning upstream).
+    """
+    lo = jnp.searchsorted(r_keys_sorted, s_keys, side="left")
+    hi = jnp.searchsorted(r_keys_sorted, s_keys, side="right")
+    return jnp.sum((hi - lo).astype(jnp.int32))
+
+
+def probe_count_reference(r_keys: jnp.ndarray, s_keys: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Oracle match count for arbitrary (unsorted) key arrays."""
+    return probe_count_sorted(jnp.sort(r_keys), s_keys)
+
+
+# ---------------------------------------------------------------------------
+# Pallas tiled broadcast-compare probe over padded partitions
+# ---------------------------------------------------------------------------
+
+_ROWS = 8  # r-partition rows per VMEM block (the int32 sublane tile)
+
+
+_R_PAD_KEY = 0xFFFFFFFF   # padding sentinels: outside the engine key domain
+_S_PAD_KEY = 0xFFFFFFFE   # (distinct per side so padding never matches)
+
+
+def _probe_count_kernel(rk_ref, sk_ref, out_ref):
+    """One grid step: count matches of S tile j against R partition p.
+
+    All-pairs equality via the **lane-roll** technique: both operands live in
+    the native (rows, 128) VMEM layout; rolling one S row through all 128
+    lane offsets pairs every S element with every R lane exactly once, and
+    the sublane broadcast pairs it with every R row.  No transposes, no
+    (N, 1) column layouts (which pad 128x in TPU tiled memory), no scalar
+    loops — pure VPU compare-accumulate at full lane utilisation.
+
+      - rk_ref: (cap_r/128, 128) — R partition p.
+      - sk_ref: (tile/128, 128)  — S tile j of partition p.
+      - padding slots hold side-distinct sentinels, so validity masking is
+        free (they never compare equal).
+      - out_ref: (8, 128) per-lane match accumulator for the current
+        8-partition group; row k = p % 8 holds partition p's counts
+        (summed over lanes by the caller).
+    """
+    p = pl.program_id(0)
+    j = pl.program_id(1)
+    k = jax.lax.rem(p, _ROWS)
+
+    @pl.when((j == 0) & (k == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    r2d = rk_ref[...]                                  # (R8, 128)
+    ts = sk_ref.shape[0]
+
+    def srow_body(i, acc):
+        srow = sk_ref[pl.ds(i, 1), :]                  # (1, 128)
+
+        def shift_body(sh, acc):
+            rolled = pltpu.roll(srow, sh, axis=1)
+            return acc + (r2d == rolled).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, 128, shift_body, acc)
+
+    acc = jax.lax.fori_loop(
+        0, ts, srow_body, jnp.zeros(r2d.shape, jnp.int32))
+    cnt = jnp.sum(acc, axis=0, keepdims=True)          # (1, 128) lane counts
+
+    krow = (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0) == k)
+    out_ref[...] += jnp.where(krow, cnt, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "interpret"))
+def _probe_count_dense(r_pad, s_pad, r_counts, s_counts, tile: int,
+                       interpret: bool):
+    P, cap_r = r_pad.shape
+    _, cap_s = s_pad.shape
+
+    def pad_cols(x, cap, sentinel):
+        new = ((cap + 1023) // 1024) * 1024   # sublane blocks need cap/128 % 8 == 0
+        if new != cap:
+            x = jnp.pad(x, ((0, 0), (0, new - cap)),
+                        constant_values=jnp.uint32(sentinel))
+        return x, new
+
+    # Sentinel-fill padding slots (masking-by-value), pad columns to 1024
+    # multiples and the partition dimension to the sublane tile.
+    r_pad = jnp.where(jnp.arange(cap_r)[None, :] < r_counts[:, None],
+                      r_pad, jnp.uint32(_R_PAD_KEY))
+    s_pad = jnp.where(jnp.arange(cap_s)[None, :] < s_counts[:, None],
+                      s_pad, jnp.uint32(_S_PAD_KEY))
+    r_pad, cap_r = pad_cols(r_pad, cap_r, _R_PAD_KEY)
+    s_pad, cap_s = pad_cols(s_pad, cap_s, _S_PAD_KEY)
+    P8 = ((P + _ROWS - 1) // _ROWS) * _ROWS
+    if P8 != P:
+        pad = P8 - P
+        r_pad = jnp.pad(r_pad, ((0, pad), (0, 0)),
+                        constant_values=jnp.uint32(_R_PAD_KEY))
+        s_pad = jnp.pad(s_pad, ((0, pad), (0, 0)),
+                        constant_values=jnp.uint32(_S_PAD_KEY))
+
+    tile = min(tile, cap_s)
+    tile = max(1024, (tile // 1024) * 1024)
+    if cap_s % tile != 0:
+        tile = 1024             # always divides cap_s (a multiple of 1024)
+    n_tiles = cap_s // tile
+
+    # Native-layout 2-D views: each partition is cap/128 rows of 128 lanes.
+    r3 = r_pad.reshape(P8 * (cap_r // 128), 128)
+    s3 = s_pad.reshape(P8 * (cap_s // 128), 128)
+    r_rows = cap_r // 128
+    t_rows = tile // 128
+
+    per_lane = pl.pallas_call(
+        _probe_count_kernel,
+        grid=(P8, n_tiles),
+        in_specs=[
+            pl.BlockSpec((r_rows, 128), lambda p, j: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_rows, 128),
+                         lambda p, j, _n=n_tiles: (p * _n + j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, 128), lambda p, j: (p // _ROWS, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P8, 128), jnp.int32),
+        interpret=interpret,
+    )(r3, s3)
+    return jnp.sum(per_lane[:P], axis=1)
+
+
+def probe_count_partitioned(r_part: PartitionedRelation,
+                            s_part: PartitionedRelation,
+                            cap_r: int, cap_s: int,
+                            tile: int = 512,
+                            use_pallas: bool = True,
+                            interpret: bool | None = None) -> jnp.ndarray:
+    """Per-partition match counts for co-partitioned relations.
+
+    ``cap_r``/``cap_s`` are static per-partition capacity bounds (see
+    JoinConfig.partition_capacity); partitions exceeding them must have been
+    routed to the skew path first (ops/skew.py).
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    return _probe_count_arrays(
+        r_part.keys, r_part.starts, r_part.counts,
+        s_part.keys, s_part.starts, s_part.counts,
+        cap_r, cap_s, tile, use_pallas, interpret)
+
+
+def _probe_count_arrays(r_keys, r_starts, r_counts, s_keys, s_starts,
+                        s_counts, cap_r, cap_s, tile, use_pallas, interpret):
+    r_pad, _ = gather_padded(r_keys, r_starts, r_counts, cap_r)
+    s_pad, _ = gather_padded(s_keys, s_starts, s_counts, cap_s)
+    if not use_pallas:
+        # jnp fallback with identical semantics (used in CPU tests):
+        # per-partition sort-merge — O(cap log cap) per row instead of the
+        # O(cap_r * cap_s) compare tensor, which explodes at big tier caps.
+        r_valid = (jnp.arange(cap_r)[None, :] < r_counts[:, None])
+        s_valid = (jnp.arange(cap_s)[None, :] < s_counts[:, None])
+        sentinel = jnp.uint32(0xFFFFFFFF)  # outside the engine key domain
+        r_sorted = jnp.sort(jnp.where(r_valid, r_pad, sentinel), axis=1)
+        lo = jax.vmap(lambda rk, sk: jnp.searchsorted(rk, sk, side="left"))(
+            r_sorted, s_pad)
+        hi = jax.vmap(lambda rk, sk: jnp.searchsorted(rk, sk, side="right"))(
+            r_sorted, s_pad)
+        cnt = jnp.where(s_valid, hi - lo, 0)
+        return jnp.sum(cnt, axis=1, dtype=jnp.int32)
+    tile = min(tile, cap_s)
+    return _probe_count_dense(r_pad, s_pad, r_counts, s_counts,
+                              tile, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Tiered probe — partition-level skew handling (see ops/skew.py §1; the
+# reference's block-remapping probes, kernels_optimized.cu:321-457, become
+# repeated fixed-capacity passes over geometrically growing tiers).
+# ---------------------------------------------------------------------------
+
+def probe_count_tiered(r_part: PartitionedRelation,
+                       s_part: PartitionedRelation,
+                       cap_r: int, cap_s: int,
+                       n_tiers: int = 3, growth: int = 4,
+                       slot_shrink: int = 4,
+                       tile: int = 512,
+                       use_pallas: bool = True,
+                       interpret: bool | None = None):
+    """Probe with per-partition capacity tiers.
+
+    Tier t holds partitions whose R side fits cap_r * growth**t AND S side
+    fits cap_s * growth**t.  Tier 0 probes all P partitions; higher tiers
+    probe only the top-k largest partitions (k shrinking by ``slot_shrink``
+    per tier) so padded memory stays ~constant per tier.
+
+    Returns (total_matches_i32, ok) where ``ok`` is False if any partition
+    exceeded the top tier or a tier had more members than slots — callers
+    must escalate those workloads to the heavy/sort-merge path.
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    P = r_part.n_partitions
+    tier = jnp.maximum(partition_tiers(r_part.counts, cap_r, n_tiers, growth),
+                       partition_tiers(s_part.counts, cap_s, n_tiers, growth))
+    ok = jnp.all(tier < n_tiers)
+
+    totals = []
+    # Tier 0: all partitions, base capacity.
+    c_r = jnp.where(tier == 0, r_part.counts, 0)
+    c_s = jnp.where(tier == 0, s_part.counts, 0)
+    totals.append(jnp.sum(_probe_count_arrays(
+        r_part.keys, r_part.starts, c_r, s_part.keys, s_part.starts, c_s,
+        cap_r, cap_s, tile, use_pallas, interpret)))
+
+    for t in range(1, n_tiers):
+        k_t = min(P, max(8, P // (slot_shrink ** t)))
+        in_tier = tier == t
+        ok = ok & (jnp.sum(in_tier.astype(jnp.int32)) <= k_t)
+        score = jnp.where(in_tier, s_part.counts + r_part.counts, -1)
+        _, sel = jax.lax.top_k(score, k_t)
+        sel_ok = in_tier[sel]
+        cr = jnp.where(sel_ok, r_part.counts[sel], 0)
+        cs = jnp.where(sel_ok, s_part.counts[sel], 0)
+        totals.append(jnp.sum(_probe_count_arrays(
+            r_part.keys, r_part.starts[sel], cr,
+            s_part.keys, s_part.starts[sel], cs,
+            cap_r * growth ** t, cap_s * growth ** t,
+            tile, use_pallas, interpret)))
+
+    return sum(totals), ok
+
+
+# ---------------------------------------------------------------------------
+# Materialising probe (reference kernels.cu:199-246 `probe`,
+# 314-411 `probe_match_rate`): emits (r_rid, s_rid) pairs.
+# ---------------------------------------------------------------------------
+
+def join_materialize(r_keys, r_rids, s_keys, s_rids, max_out: int):
+    """Full equi-join output with a static output bound.
+
+    Sort-merge formulation: R is key-sorted; for every S row the matching R
+    range [lo, hi) is found by binary search; output slots are assigned by
+    prefix sum over range lengths and filled by a vectorised
+    inverse-searchsorted (the scatter-free analogue of the GPU's
+    atomicAdd-claimed output cursor, kernels.cu:236-243).
+
+    Returns (out_r_rid, out_s_rid, out_key, valid_mask, total_count). Pairs
+    beyond ``max_out`` are dropped (the reference instead re-runs overflowing
+    partitions, kernels.cu:376-403; the engine retries with a larger bound).
+    """
+    order = jnp.argsort(r_keys)
+    rk = r_keys[order]
+    rr = r_rids[order]
+    lo = jnp.searchsorted(rk, s_keys, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(rk, s_keys, side="right").astype(jnp.int32)
+    cnt = hi - lo
+    offs = jnp.cumsum(cnt) - cnt                    # exclusive scan
+    total = jnp.sum(cnt)
+    # For output slot k: which s row does it belong to?
+    slot = jnp.arange(max_out, dtype=jnp.int32)
+    s_idx = jnp.searchsorted(offs, slot, side="right").astype(jnp.int32) - 1
+    s_idx = jnp.clip(s_idx, 0, s_keys.shape[0] - 1)
+    r_pos = lo[s_idx] + (slot - offs[s_idx])
+    valid = slot < total
+    r_pos = jnp.clip(r_pos, 0, rk.shape[0] - 1)
+    out_r = jnp.where(valid, rr[r_pos], 0)
+    out_s = jnp.where(valid, s_rids[s_idx], 0)
+    out_k = jnp.where(valid, rk[r_pos], 0)
+    return out_r, out_s, out_k, valid, total

@@ -1,0 +1,97 @@
+"""Histogram-driven all-to-all shuffle — the "network partitioning" phase.
+
+TPU-native replacement for the reference's MPI-RMA machinery:
+  - ``Window`` (data/Window.cpp:35-200): MPI_Alloc_mem + MPI_Win_create
+    symmetric windows, passive-target lock_all, per-buffer MPI_Put into
+    disjoint precomputed offsets, flush/unlock.
+  - ``NetworkPartitioning`` (tasks/NetworkPartitioning.cpp:64-268): radix
+    scatter through software write-combine buffers flushed with AVX
+    streaming stores, 64 KiB RDMA buffers double-buffered per partition.
+
+On a TPU mesh the one-sided put storm becomes a single **ICI all-to-all**:
+each device groups its tuples by destination (a sort — same primitive as the
+local partitioner), pads each destination segment to a static capacity
+(the analogue of the reference's fixed 64 KiB buffers: capacity is
+``mean * ALLOCATION_FACTOR``, core/Configuration.h:36), and one
+``jax.lax.all_to_all`` moves every segment to its owner over ICI.  Validity
+masks replace the reference's write-counter bookkeeping; the all-written
+invariant (data/Window.cpp:180-191) becomes a count check returned to the
+caller.  XLA schedules the collective asynchronously, so downstream local
+work on already-received chunks overlaps with the transfer when the chunked
+variant (``shuffle_chunked``) splits the exchange into rounds.
+
+All functions run INSIDE ``jax.shard_map`` over a 1-D mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.histogram import histogram_sorted
+from ..ops.partition import gather_padded
+
+
+class ShuffledShard(NamedTuple):
+    """Tuples this device received: [D * capacity] arrays + validity."""
+    keys: jnp.ndarray    # uint32[D*C]
+    rids: jnp.ndarray    # uint32[D*C]
+    valid: jnp.ndarray   # bool[D*C]
+    sent_counts: jnp.ndarray  # int32[D] tuples this shard sent to each dest
+    overflow: jnp.ndarray     # bool: some segment exceeded capacity
+
+
+def shuffle_by_destination(keys: jnp.ndarray, rids: jnp.ndarray,
+                           dest: jnp.ndarray, capacity: int, axis: str
+                           ) -> ShuffledShard:
+    """Exchange tuples so device d ends up with all tuples whose
+    ``dest == d``.  ``dest``: int32[n] in [0, axis_size).
+    """
+    n_dev = jax.lax.axis_size(axis)
+    # Group by destination (the reference's WC-buffer scatter,
+    # NetworkPartitioning.cpp:116-173, as a sort).
+    sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1, is_stable=True)
+    counts, starts = histogram_sorted(sd, n_dev)
+    overflow = jnp.any(counts > jnp.int32(capacity))
+
+    send_keys, valid = gather_padded(sk, starts, counts, capacity)  # [D, C]
+    send_rids, _ = gather_padded(sr, starts, counts, capacity)
+
+    # The put storm (Window::write -> MPI_Put, data/Window.cpp:86-144):
+    recv_keys = jax.lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
+    recv_rids = jax.lax.all_to_all(send_rids, axis, 0, 0, tiled=False)
+    recv_valid = jax.lax.all_to_all(valid, axis, 0, 0, tiled=False)
+    return ShuffledShard(recv_keys.reshape(-1), recv_rids.reshape(-1),
+                         recv_valid.reshape(-1), counts, overflow)
+
+
+def shuffle_chunked(keys: jnp.ndarray, rids: jnp.ndarray, dest: jnp.ndarray,
+                    capacity: int, axis: str, n_rounds: int) -> ShuffledShard:
+    """Multi-round shuffle: the exchange is split into ``n_rounds`` slices of
+    the send buffer so XLA can overlap round k's ICI transfer with round
+    k-1's downstream compute — the TPU analogue of the reference's
+    double-buffered 64 KiB put pipeline (NetworkPartitioning.cpp:146-165).
+
+    Capacity must be divisible by n_rounds.
+    """
+    n_dev = jax.lax.axis_size(axis)
+    sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1, is_stable=True)
+    counts, starts = histogram_sorted(sd, n_dev)
+    overflow = jnp.any(counts > jnp.int32(capacity))
+
+    send_keys, valid = gather_padded(sk, starts, counts, capacity)
+    send_rids, _ = gather_padded(sr, starts, counts, capacity)
+    step = capacity // n_rounds
+    rk, rr, rv = [], [], []
+    for i in range(n_rounds):
+        sl = slice(i * step, (i + 1) * step)
+        rk.append(jax.lax.all_to_all(send_keys[:, sl], axis, 0, 0))
+        rr.append(jax.lax.all_to_all(send_rids[:, sl], axis, 0, 0))
+        rv.append(jax.lax.all_to_all(valid[:, sl], axis, 0, 0))
+    recv_keys = jnp.concatenate(rk, axis=1)
+    recv_rids = jnp.concatenate(rr, axis=1)
+    recv_valid = jnp.concatenate(rv, axis=1)
+    return ShuffledShard(recv_keys.reshape(-1), recv_rids.reshape(-1),
+                         recv_valid.reshape(-1), counts, overflow)

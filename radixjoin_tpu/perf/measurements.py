@@ -1,0 +1,164 @@
+"""Per-phase measurements, .perf/.info artifacts, and speed-of-light accounting.
+
+TPU-native replacement for the reference's ``performance/Measurements.{h,cpp}``
+(339+855 LoC of static start/stop timestamp pairs):
+
+  - Phase timers JTOTAL/JHIST/JMPI/JPROC (Measurements.cpp:90-142)
+    -> Timer phases around block_until_ready'd jit calls.
+  - MEASUREMENT_DETAILS_* per-step counters (Measurements.cpp:247-541)
+    -> per-phase tuple counts + bytes in PhaseStats.
+  - PAPI total cycles (Measurements.cpp:90-107) -> wall ns (no PAPI on TPU
+    hosts; device-side truth comes from jax.profiler traces, see `trace`).
+  - Per-rank files <cwd>/experiment-<N>-<id>/<rank>.perf|.info with tagged
+    key\\tvalue\\tunit lines (Measurements.cpp:707-749) -> same format, one
+    file per process (per-host in multi-host runs).
+  - Rank-0 aggregation + "[RESULTS] Summary" table (Measurements.cpp:546-702)
+    -> print_summary().
+
+New relative to the reference: **speed-of-light accounting** — each phase can
+declare the HBM bytes / ICI bytes it must move; report() emits achieved
+fraction of roofline (BASELINE.md targets are stated this way).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import socket
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+
+
+@dataclass
+class PhaseStats:
+    name: str
+    seconds: float = 0.0
+    calls: int = 0
+    tuples: int = 0
+    hbm_bytes: int = 0   # bytes this phase must move through HBM (min)
+    ici_bytes: int = 0   # bytes this phase must move over ICI (min)
+
+
+@dataclass
+class Measurements:
+    """One experiment's measurements (reference Measurements is all-static;
+    ours is an object so concurrent experiments don't collide)."""
+
+    experiment_id: str = field(
+        default_factory=lambda: time.strftime("%Y%m%d-%H%M%S"))
+    node_id: int = 0
+    n_nodes: int = 1
+    phases: dict = field(default_factory=dict)
+    meta: dict = field(default_factory=dict)
+    hbm_gbps: float = 800.0   # per-chip roofline; calibrate with bench
+    ici_gbps: float = 45.0    # per-link
+
+    # -- timers ----------------------------------------------------------
+    @contextlib.contextmanager
+    def phase(self, name: str, tuples: int = 0, hbm_bytes: int = 0,
+              ici_bytes: int = 0, sync=None):
+        """Time a phase; `sync` is an array (or pytree) to block on so device
+        work is included (the reference brackets with MPI_Barrier +
+        PAPI reads, Measurements.cpp:90-107)."""
+        t0 = time.perf_counter()
+        yield
+        if sync is not None:
+            jax.block_until_ready(sync)
+        dt = time.perf_counter() - t0
+        st = self.phases.setdefault(name, PhaseStats(name))
+        st.seconds += dt
+        st.calls += 1
+        st.tuples += tuples
+        st.hbm_bytes += hbm_bytes
+        st.ici_bytes += ici_bytes
+
+    def time_fn(self, name: str, fn, *args, tuples: int = 0,
+                hbm_bytes: int = 0, ici_bytes: int = 0, **kw):
+        with self.phase(name, tuples, hbm_bytes, ici_bytes):
+            out = fn(*args, **kw)
+            jax.block_until_ready(out)
+        return out
+
+    # -- reporting -------------------------------------------------------
+    def sol_fraction(self, st: PhaseStats) -> Optional[float]:
+        """Achieved fraction of the roofline for a phase, if it declared
+        its minimal data movement."""
+        if st.seconds <= 0:
+            return None
+        bound = 0.0
+        if st.hbm_bytes:
+            bound = max(bound, st.hbm_bytes / (self.hbm_gbps * 1e9))
+        if st.ici_bytes:
+            bound = max(bound, st.ici_bytes / (self.ici_gbps * 1e9))
+        if bound == 0.0:
+            return None
+        return bound / st.seconds
+
+    def report(self) -> dict:
+        out = {"experiment": self.experiment_id, "node": self.node_id,
+               "nodes": self.n_nodes, "meta": dict(self.meta), "phases": {}}
+        for name, st in self.phases.items():
+            entry = {"ms": st.seconds * 1e3, "calls": st.calls,
+                     "tuples": st.tuples}
+            if st.tuples and st.seconds > 0:
+                entry["mtuples_per_s"] = st.tuples / st.seconds / 1e6
+            frac = self.sol_fraction(st)
+            if frac is not None:
+                entry["speed_of_light_fraction"] = frac
+            out["phases"][name] = entry
+        return out
+
+    def print_summary(self) -> None:
+        """Per-phase table + "[RESULTS] Summary" line
+        (reference Measurements.cpp:592-702)."""
+        rep = self.report()
+        print(f"[RESULTS] Experiment {rep['experiment']} "
+              f"node {rep['node']}/{rep['nodes']}")
+        total_ms = 0.0
+        for name, e in rep["phases"].items():
+            line = f"[RESULTS]   {name:<24s} {e['ms']:10.2f} ms"
+            if "mtuples_per_s" in e:
+                line += f"  {e['mtuples_per_s']:10.1f} Mt/s"
+            if "speed_of_light_fraction" in e:
+                line += f"  {e['speed_of_light_fraction']*100:5.1f}% SoL"
+            print(line)
+            total_ms += e["ms"]
+        print(f"[RESULTS] Summary: total {total_ms:.2f} ms")
+
+    # -- artifacts (reference Measurements::init + storeAllMeasurements,
+    #    Measurements.cpp:707-776) ---------------------------------------
+    def store(self, base_dir: str = ".") -> str:
+        d = os.path.join(base_dir,
+                         f"experiment-{self.n_nodes}-{self.experiment_id}")
+        os.makedirs(d, exist_ok=True)
+        perf_path = os.path.join(d, f"{self.node_id}.perf")
+        with open(perf_path, "w") as f:
+            for name, st in self.phases.items():
+                f.write(f"{name}\t{st.seconds*1e6:.0f}\tus\n")
+                if st.tuples:
+                    f.write(f"{name}_TUPLES\t{st.tuples}\tcount\n")
+                frac = self.sol_fraction(st)
+                if frac is not None:
+                    f.write(f"{name}_SOL\t{frac:.4f}\tfraction\n")
+        info_path = os.path.join(d, f"{self.node_id}.info")
+        with open(info_path, "w") as f:
+            f.write(f"NUMNODES\t{self.n_nodes}\n")
+            f.write(f"NODEID\t{self.node_id}\n")
+            f.write(f"HOST\t{socket.gethostname()}\n")
+            for k, v in self.meta.items():
+                f.write(f"{k}\t{v}\n")
+        with open(os.path.join(d, f"{self.node_id}.json"), "w") as f:
+            json.dump(self.report(), f, indent=2)
+        return d
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/radixjoin-trace"):
+    """jax.profiler trace context — the xprof-level ground truth that
+    replaces the reference's PAPI counters (Measurements.cpp:778-821)."""
+    with jax.profiler.trace(log_dir):
+        yield

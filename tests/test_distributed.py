@@ -1,0 +1,150 @@
+"""Multi-device tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 test-pyramid layer (c)): the full 4-phase distributed join,
+metadata collectives, and the shuffle, with the unique-keys oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+import pytest
+
+from radixjoin_tpu import JoinConfig, make_relation
+from radixjoin_tpu.data import relation as gen
+from radixjoin_tpu.data.tuples import Relation, radix_bits
+from radixjoin_tpu.engine.distributed import (make_distributed_join,
+                                              total_distributed_matches)
+from radixjoin_tpu.parallel.metadata import compute_metadata
+from radixjoin_tpu.parallel.shuffle import shuffle_by_destination
+
+CFG = JoinConfig(use_pallas=False, allocation_factor=1.3)
+
+
+def _np_join_count(r_keys, s_keys):
+    r_u, r_c = np.unique(r_keys, return_counts=True)
+    s_u, s_c = np.unique(s_keys, return_counts=True)
+    _, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
+    return int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))
+
+
+def test_metadata_collectives(mesh8):
+    n_dev = 8
+    n = 1024 * n_dev
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**31, n, dtype=np.uint32)
+    p_net = 32
+
+    def shard_fn(k):
+        pid = radix_bits(k, 5)
+        meta = compute_metadata(pid, p_net, "nodes")
+        return (meta.local_hist[None], meta.global_hist,
+                meta.rel_offsets[None], meta.base_offsets,
+                meta.window_sizes)
+
+    out = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh8, in_specs=(P("nodes"),),
+        out_specs=(P("nodes"), P(), P("nodes"), P(), P())))(jnp.asarray(keys))
+    local, global_h, rel_off, base_off, win = map(np.asarray, out)
+
+    pid_np = keys & 31
+    np.testing.assert_array_equal(global_h, np.bincount(pid_np, minlength=32))
+    # local histograms sum to global
+    np.testing.assert_array_equal(local.sum(0), global_h)
+    # exscan property: rel_offsets[d] = sum of locals of earlier devices
+    np.testing.assert_array_equal(rel_off,
+                                  np.cumsum(local, axis=0) - local)
+    # base offsets: within an owner, partitions pack in order
+    assign = np.arange(32) % 8
+    for d in range(8):
+        owned = np.where(assign == d)[0]
+        sizes = global_h[owned]
+        np.testing.assert_array_equal(base_off[owned],
+                                      np.cumsum(sizes) - sizes)
+        assert win[d] == sizes.sum()
+
+
+def test_shuffle_all_tuples_arrive(mesh8):
+    n_dev = 8
+    per = 2048
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 2**31, per * n_dev, dtype=np.uint32)
+    rids = np.arange(per * n_dev, dtype=np.uint32)
+    cap = int(per / n_dev * 2)
+
+    def shard_fn(k, r):
+        dest = (k % jnp.uint32(n_dev)).astype(jnp.int32)
+        shuf = shuffle_by_destination(k, r, dest, cap, "nodes")
+        return (shuf.keys[None], shuf.valid[None], shuf.overflow[None])
+
+    rk, valid, ovf = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh8, in_specs=(P("nodes"), P("nodes")),
+        out_specs=(P("nodes"), P("nodes"), P("nodes"))))(
+            jnp.asarray(keys), jnp.asarray(rids))
+    rk, valid, ovf = map(np.asarray, (rk, valid, ovf))
+    assert not ovf.any()
+    # device d received exactly the keys with key % 8 == d
+    for d in range(n_dev):
+        got = np.sort(rk[d][valid[d]])
+        want = np.sort(keys[keys % n_dev == d])
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("workload", ["unique", "general"])
+def test_distributed_join_oracle(mesh8, workload):
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    if workload == "unique":
+        r = gen.fill_unique(n, jax.random.key(2))
+        s = gen.fill_unique(n, jax.random.key(3))
+        want = n
+    else:
+        rng = np.random.default_rng(4)
+        r = make_relation(rng.integers(0, 5000, n, dtype=np.uint32),
+                          np.arange(n, dtype=np.uint32))
+        s = make_relation(rng.integers(0, 5000, n, dtype=np.uint32),
+                          np.arange(n, dtype=np.uint32))
+        want = _np_join_count(np.asarray(r.keys), np.asarray(s.keys))
+
+    run = make_distributed_join(mesh8, per, per, CFG)
+    res = run(r, s)
+    assert np.asarray(res.ok).all()
+    assert total_distributed_matches(res) == want
+    # phase-1 observability: global histograms match numpy
+    np.testing.assert_array_equal(
+        np.asarray(res.global_hist_r),
+        np.bincount(np.asarray(r.keys) & 31, minlength=32))
+
+
+def test_distributed_join_chunked_shuffle(mesh8):
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    r = gen.fill_unique(n, jax.random.key(5))
+    s = gen.fill_unique(n, jax.random.key(6))
+    run = make_distributed_join(mesh8, per, per, CFG, shuffle_rounds=4)
+    res = run(r, s)
+    assert np.asarray(res.ok).all()
+    assert total_distributed_matches(res) == n
+
+
+def test_distribute_sections(mesh8):
+    n_dev = 8
+    per = 1024
+    n = per * n_dev
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**31, n, dtype=np.uint32)
+    rids = np.arange(n, dtype=np.uint32)
+
+    def shard_fn(k, r):
+        rel = gen.distribute_sections(Relation(k, r), "nodes")
+        return rel.keys[None], rel.rids[None]
+
+    rk, rr = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh8, in_specs=(P("nodes"), P("nodes")),
+        out_specs=(P("nodes"), P("nodes"))))(jnp.asarray(keys),
+                                             jnp.asarray(rids))
+    rk = np.asarray(rk).reshape(-1)
+    rr = np.asarray(rr).reshape(-1)
+    # global multiset of tuples preserved
+    np.testing.assert_array_equal(np.sort(rr), rids)
+    np.testing.assert_array_equal(keys[rr], rk)

@@ -1,0 +1,152 @@
+"""End-to-end single-chip engine tests with the self-validating oracle
+(SURVEY.md §4: unique-keys workload => matches == inner size,
+reference main.cpp:95-98)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radixjoin_tpu import (JoinConfig, join_count, join_count_checked,
+                           total_matches, make_relation)
+from radixjoin_tpu.data import relation as gen
+from radixjoin_tpu.engine.join import join_rows
+from radixjoin_tpu.engine.pipeline import filter_join_aggregate
+from radixjoin_tpu.engine.outofcore import join_count_outofcore
+
+CFG = JoinConfig(use_pallas=True)
+
+
+def _np_join_count(r_keys, s_keys):
+    r_u, r_c = np.unique(r_keys, return_counts=True)
+    s_u, s_c = np.unique(s_keys, return_counts=True)
+    _, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
+    return int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))
+
+
+def test_unique_keys_oracle():
+    n = 1 << 14
+    r = gen.fill_unique(n, jax.random.key(0))
+    s = gen.fill_unique(n, jax.random.key(1))
+    res = join_count(r, s, CFG)
+    assert bool(res.ok)
+    assert total_matches(res) == n
+
+
+def test_modulo_match_rate():
+    n_inner, n_outer = 1 << 12, 1 << 14
+    r = gen.fill_unique(n_inner, jax.random.key(2))
+    s = gen.fill_modulo(n_outer, jax.random.key(3), n_inner)
+    res = join_count(r, s, CFG)
+    assert bool(res.ok)
+    # every outer tuple matches exactly one inner key
+    assert total_matches(res) == n_outer
+
+
+def test_partial_overlap():
+    n = 1 << 13
+    r = gen.fill_unique(n, jax.random.key(4), start_key=0)
+    s = gen.fill_unique(n, jax.random.key(5), start_key=n // 2)
+    res = join_count(r, s, CFG)
+    assert total_matches(res) == n - n // 2
+
+
+def test_sortmerge_mode_agrees():
+    rng = np.random.default_rng(6)
+    r = make_relation(rng.integers(0, 5000, 6000, dtype=np.uint32),
+                      np.arange(6000, dtype=np.uint32))
+    s = make_relation(rng.integers(0, 5000, 9000, dtype=np.uint32),
+                      np.arange(9000, dtype=np.uint32))
+    want = _np_join_count(np.asarray(r.keys), np.asarray(s.keys))
+    a = total_matches(join_count(r, s, CFG, mode="sortmerge"))
+    b = total_matches(join_count(r, s, CFG))
+    assert a == want
+    assert b == want
+
+
+def test_skew_aware_zipf():
+    n = 1 << 14
+    r = gen.fill_unique(n, jax.random.key(7))
+    s = gen.fill_zipf(n, jax.random.key(8), domain=n, theta=1.2)
+    want = _np_join_count(np.asarray(r.keys), np.asarray(s.keys))
+    got = join_count_checked(r, s, CFG, skew_aware=True)
+    assert got == want
+
+
+def test_extreme_skew_falls_back():
+    # all-equal keys: partitioned path must flag overflow; checked escalates
+    n = 1 << 12
+    r = make_relation(np.full(n, 42, np.uint32),
+                      np.arange(n, dtype=np.uint32))
+    s = make_relation(np.full(n, 42, np.uint32),
+                      np.arange(n, dtype=np.uint32))
+    got = join_count_checked(r, s, CFG)
+    assert got == n * n
+
+
+def test_skew_aware_handles_single_hot_key_without_fallback():
+    n = 1 << 14
+    hot = n // 4
+    rng = np.random.default_rng(9)
+    r = gen.fill_unique(n, jax.random.key(10))
+    sk = np.concatenate([rng.integers(0, n, n - hot, dtype=np.uint32),
+                         np.full(hot, 123, np.uint32)])
+    rng.shuffle(sk)
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    res = join_count(r, s, CFG, skew_aware=True)
+    assert bool(res.ok), "heavy-hitter path should prevent tier overflow"
+    assert total_matches(res) == _np_join_count(np.asarray(r.keys), sk)
+
+
+def test_join_rows_unique():
+    n = 1 << 10
+    r = gen.fill_unique(n, jax.random.key(11))
+    s = gen.fill_unique(n, jax.random.key(12))
+    out_r, out_s, out_k, valid, total = join_rows(r, s, max_out=2 * n)
+    assert int(total) == n
+    rk = np.asarray(r.keys)
+    sk = np.asarray(s.keys)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(rk[np.asarray(out_r)[v]],
+                                  sk[np.asarray(out_s)[v]])
+
+
+def test_valid_count_padding():
+    n = 1 << 12
+    r = gen.fill_unique(n, jax.random.key(13))
+    s = gen.fill_unique(n, jax.random.key(14))
+    res = join_count(r, s, CFG, r_valid_count=jnp.int32(n // 2),
+                     s_valid_count=jnp.int32(n))
+    # exactly the first n//2 R rows participate
+    want = _np_join_count(np.asarray(r.keys)[: n // 2], np.asarray(s.keys))
+    assert total_matches(res) == want
+
+
+def test_outofcore_matches_inmemory():
+    n = 1 << 14
+    rng = np.random.default_rng(15)
+    rk = rng.integers(0, 10000, n, dtype=np.uint32)
+    sk = rng.integers(0, 10000, n, dtype=np.uint32)
+    want = _np_join_count(rk, sk)
+    got = join_count_outofcore(
+        rk, np.arange(n, dtype=np.uint32), sk, np.arange(n, dtype=np.uint32),
+        CFG, coarse_bits=2, chunk=4096)
+    assert got == want
+
+
+def test_pipeline_filter_join_aggregate():
+    n = 1 << 12
+    r = gen.fill_unique(n, jax.random.key(16))
+    s = gen.fill_modulo(n * 2, jax.random.key(17), n)
+    res = filter_join_aggregate(
+        r, s,
+        r_pred=lambda k, rid: k < jnp.uint32(100),
+        s_pred=None,
+        max_out=4 * n, max_groups=256)
+    # keys 0..99 each match exactly 2 outer rows (modulo fill, 2x outer)
+    assert int(res.join_count) == 200
+    assert int(res.n_groups) == 100
+    gk = np.asarray(res.group_keys)[np.asarray(res.group_valid)]
+    gs = np.asarray(res.group_sums)[np.asarray(res.group_valid)]
+    assert sorted(gk.tolist()) == list(range(100))
+    assert np.all(gs == 2)

@@ -1,0 +1,271 @@
+"""Single-device kernel tests vs NumPy oracles
+(SURVEY.md §4 test-pyramid layer (b))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radixjoin_tpu.data.tuples import Relation, make_relation
+from radixjoin_tpu.data import relation as gen
+from radixjoin_tpu.ops import histogram as hist
+from radixjoin_tpu.ops import partition as part
+from radixjoin_tpu.ops import buildprobe as bp
+from radixjoin_tpu.ops import sort as sort_ops
+from radixjoin_tpu.ops import filter as filter_ops
+from radixjoin_tpu.ops import aggregate as agg
+from radixjoin_tpu.ops import skew as skew_ops
+
+
+def _rand_rel(n, key_max, seed):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, key_max, n, dtype=np.uint32)
+    return make_relation(keys, np.arange(n, dtype=np.uint32)), keys
+
+
+# -------------------------- histogram --------------------------
+
+@pytest.mark.parametrize("n,bins", [(1000, 32), (4096, 32), (100, 8),
+                                    (8192, 256)])
+def test_histogram_onehot(n, bins):
+    rng = np.random.default_rng(0)
+    pids = rng.integers(0, bins, n).astype(np.int32)
+    want = np.bincount(pids, minlength=bins)
+    got = np.asarray(hist.histogram_onehot(jnp.asarray(pids), bins))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n,bins", [(1000, 32), (70000, 32), (512, 128)])
+def test_histogram_pallas(n, bins):
+    rng = np.random.default_rng(1)
+    pids = rng.integers(0, bins, n).astype(np.int32)
+    want = np.bincount(pids, minlength=bins)
+    got = np.asarray(hist.histogram_pallas(jnp.asarray(pids), bins,
+                                           chunk=4096))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_histogram_sorted():
+    rng = np.random.default_rng(2)
+    pids = np.sort(rng.integers(0, 64, 5000)).astype(np.int32)
+    counts, starts = hist.histogram_sorted(jnp.asarray(pids), 64)
+    want = np.bincount(pids, minlength=64)
+    np.testing.assert_array_equal(np.asarray(counts), want)
+    np.testing.assert_array_equal(np.asarray(starts),
+                                  np.cumsum(want) - want)
+
+
+# -------------------------- partition --------------------------
+
+def test_partition_relation_layout():
+    rel, keys = _rand_rel(10000, 2**32 - 1, 3)
+    bits = 5
+    p = part.partition_relation(rel, bits)
+    pk = np.asarray(p.keys)
+    starts, counts = np.asarray(p.starts), np.asarray(p.counts)
+    # every partition slice contains exactly the keys with that radix
+    for pid in range(1 << bits):
+        sl = pk[starts[pid]:starts[pid] + counts[pid]]
+        assert np.all(sl % (1 << bits) == pid)
+    # multiset of (key, rid) preserved
+    got = np.sort(np.asarray(p.keys).astype(np.uint64) << np.uint64(32)
+                  | np.asarray(p.rids))
+    want = np.sort(keys.astype(np.uint64) << np.uint64(32)
+                   | np.arange(10000, dtype=np.uint64))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_partition_drop_mask():
+    rel, keys = _rand_rel(5000, 1000, 4)
+    drop = jnp.asarray((keys % 7 == 0))
+    p = part.partition_relation(rel, 4, drop_mask=drop)
+    assert int(np.sum(np.asarray(p.counts))) == int((keys % 7 != 0).sum())
+    kept = np.asarray(p.keys)[: int(np.sum(np.asarray(p.counts)))]
+    assert np.all(kept % 7 != 0)
+
+
+def test_partition_two_level_equals_single():
+    rel, _ = _rand_rel(8192, 2**20, 5)
+    a = part.partition_two_level(rel, 3, 4)
+    b = part.partition_relation(rel, 7)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    np.testing.assert_array_equal(np.asarray(a.keys), np.asarray(b.keys))
+
+
+def test_partition_chunked_matches_monolithic():
+    rel, _ = _rand_rel(10000, 2**16, 6)
+    a = part.partition_chunked(rel, 6, chunk_tuples=2048)
+    b = part.partition_relation(rel, 6)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    # same multiset per partition
+    for pid in range(64):
+        s, c = int(b.starts[pid]), int(b.counts[pid])
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(a.keys[s:s + c])),
+            np.sort(np.asarray(b.keys[s:s + c])))
+
+
+def test_gather_padded():
+    rel, _ = _rand_rel(1000, 256, 7)
+    p = part.partition_relation(rel, 4)
+    cap = int(np.max(np.asarray(p.counts))) + 8
+    keys2d, rids2d, valid = part.gather_padded_partitions(p, cap)
+    for pid in range(16):
+        c = int(p.counts[pid])
+        s = int(p.starts[pid])
+        np.testing.assert_array_equal(np.asarray(keys2d[pid, :c]),
+                                      np.asarray(p.keys[s:s + c]))
+        assert not np.any(np.asarray(valid[pid, c:]))
+
+
+# -------------------------- build/probe --------------------------
+
+def _np_join_count(r_keys, s_keys):
+    r_u, r_c = np.unique(r_keys, return_counts=True)
+    s_u, s_c = np.unique(s_keys, return_counts=True)
+    common, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
+    return int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))
+
+
+def test_probe_count_sorted_oracle():
+    rng = np.random.default_rng(8)
+    r = rng.integers(0, 500, 3000).astype(np.uint32)
+    s = rng.integers(0, 500, 4000).astype(np.uint32)
+    got = int(bp.probe_count_reference(jnp.asarray(r), jnp.asarray(s)))
+    assert got == _np_join_count(r, s)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_probe_count_partitioned(use_pallas):
+    rng = np.random.default_rng(9)
+    r = rng.integers(0, 2000, 4096).astype(np.uint32)
+    s = rng.integers(0, 2000, 8192).astype(np.uint32)
+    bits = 4
+    rp = part.partition_relation(make_relation(r, np.arange(4096)), bits)
+    sp = part.partition_relation(make_relation(s, np.arange(8192)), bits)
+    cap_r = int(np.max(np.asarray(rp.counts)))
+    cap_s = int(np.max(np.asarray(sp.counts)))
+    cap_r = ((cap_r + 127) // 128) * 128
+    cap_s = ((cap_s + 127) // 128) * 128
+    counts = bp.probe_count_partitioned(rp, sp, cap_r, cap_s, tile=256,
+                                        use_pallas=use_pallas)
+    assert int(np.sum(np.asarray(counts), dtype=np.int64)) == \
+        _np_join_count(r, s)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_probe_count_tiered_with_skewed_partitions(use_pallas):
+    rng = np.random.default_rng(10)
+    # partition 0 is ~10x the mean: exercise tier escalation
+    r = np.concatenate([rng.integers(0, 2**16, 2048),
+                        np.zeros(1024)]).astype(np.uint32)
+    s = np.concatenate([rng.integers(0, 2**16, 2048),
+                        np.zeros(1024)]).astype(np.uint32)
+    bits = 4
+    rp = part.partition_relation(make_relation(r, np.arange(r.size)), bits)
+    sp = part.partition_relation(make_relation(s, np.arange(s.size)), bits)
+    total, ok = bp.probe_count_tiered(rp, sp, cap_r=256, cap_s=256,
+                                      n_tiers=3, tile=128,
+                                      use_pallas=use_pallas)
+    assert bool(ok)
+    assert int(total) == _np_join_count(r, s)
+
+
+def test_probe_tiered_overflow_flag():
+    # all keys identical -> one partition of everything, overflows tiers
+    r = np.zeros(4096, dtype=np.uint32)
+    s = np.zeros(4096, dtype=np.uint32)
+    rp = part.partition_relation(make_relation(r, np.arange(4096)), 4)
+    sp = part.partition_relation(make_relation(s, np.arange(4096)), 4)
+    _, ok = bp.probe_count_tiered(rp, sp, cap_r=128, cap_s=128, n_tiers=2,
+                                  use_pallas=False)
+    assert not bool(ok)
+
+
+def test_join_materialize():
+    rng = np.random.default_rng(11)
+    r = rng.integers(0, 100, 300).astype(np.uint32)
+    s = rng.integers(0, 100, 400).astype(np.uint32)
+    want = _np_join_count(r, s)
+    out_r, out_s, out_k, valid, total = bp.join_materialize(
+        jnp.asarray(r), jnp.asarray(np.arange(300, dtype=np.uint32)),
+        jnp.asarray(s), jnp.asarray(np.arange(400, dtype=np.uint32)),
+        max_out=8192)
+    assert int(total) == want
+    assert int(np.sum(np.asarray(valid))) == want
+    # spot-check: every emitted pair actually joins
+    orr = np.asarray(out_r)[np.asarray(valid)]
+    oss = np.asarray(out_s)[np.asarray(valid)]
+    np.testing.assert_array_equal(r[orr], s[oss])
+    # pair multiset is exactly the cross product per key
+    pairs = set(zip(orr.tolist(), oss.tolist()))
+    assert len(pairs) == want
+
+
+# -------------------------- sort / filter / aggregate --------------------------
+
+def test_sort_relation():
+    rel, keys = _rand_rel(5000, 2**31, 12)
+    out = sort_ops.sort_relation(rel)
+    np.testing.assert_array_equal(np.asarray(out.keys), np.sort(keys))
+    # rids follow their keys
+    np.testing.assert_array_equal(keys[np.asarray(out.rids)],
+                                  np.asarray(out.keys))
+
+
+def test_radix_sort_staged():
+    rel, keys = _rand_rel(4096, 2**32 - 1, 13)
+    out = sort_ops.radix_sort_staged(rel, key_bits=32, digit_bits=8)
+    np.testing.assert_array_equal(np.asarray(out.keys), np.sort(keys))
+
+
+def test_filter_relation():
+    rel, keys = _rand_rel(3000, 1000, 14)
+    filt, count = filter_ops.filter_relation(
+        rel, lambda k, r: k < jnp.uint32(500))
+    want = keys[keys < 500]
+    c = int(count)
+    assert c == want.size
+    np.testing.assert_array_equal(np.sort(np.asarray(filt.keys[:c])),
+                                  np.sort(want))
+
+
+def test_aggregate_sum():
+    rng = np.random.default_rng(15)
+    keys = rng.integers(0, 50, 4000).astype(np.uint32)
+    vals = rng.integers(0, 100, 4000).astype(np.int32)
+    gk, gs, valid, ng = agg.aggregate_sum(jnp.asarray(keys),
+                                          jnp.asarray(vals), 128)
+    got = {int(k): int(v) for k, v, ok in
+           zip(np.asarray(gk), np.asarray(gs), np.asarray(valid)) if ok}
+    want = {}
+    for k, v in zip(keys, vals):
+        want[int(k)] = want.get(int(k), 0) + int(v)
+    assert got == want
+    assert int(ng) == len(want)
+
+
+# -------------------------- skew --------------------------
+
+def test_heavy_hitters_detection_and_count():
+    rng = np.random.default_rng(16)
+    base = rng.integers(0, 2**20, 20000).astype(np.uint32)
+    heavy = np.full(30000, 777, dtype=np.uint32)
+    keys = np.concatenate([base, heavy])
+    rng.shuffle(keys)
+    hh = skew_ops.detect_heavy_keys(jnp.asarray(keys), jax.random.key(0),
+                                    max_heavy=8, sample_size=4096,
+                                    min_est_frequency=0.05)
+    valid_keys = np.asarray(hh.keys)[np.asarray(hh.valid)]
+    assert 777 in valid_keys.tolist()
+    counts = skew_ops.count_exact(jnp.asarray(keys), hh)
+    idx = valid_keys.tolist().index(777)
+    got = np.asarray(counts)[np.asarray(hh.valid)][idx]
+    assert int(got) == 30000
+
+
+def test_partition_tiers():
+    counts = jnp.asarray([10, 100, 500, 5000], jnp.int32)
+    tiers = skew_ops.partition_tiers(counts, base_capacity=128, n_tiers=3,
+                                     growth=4)
+    np.testing.assert_array_equal(np.asarray(tiers), [0, 0, 1, 3])
