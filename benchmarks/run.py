@@ -1,0 +1,182 @@
+"""Benchmark driver — the reference's ``main.cpp`` as a configurable harness.
+
+Mirrors the reference driver's structure (main.cpp:28-149: init, relation
+generation, distribute, barrier, join, measurement aggregation + storage)
+for each BASELINE.json config:
+
+  small        1M >< 1M uniform, single-pass partition + probe
+  onechip      two-pass radix join sized to one chip (default 64M><64M)
+  skew         Zipf(1.05) skewed probe side, skew-aware heavy-hitter path
+  distributed  N-device mesh: 4-phase distributed join (virtual CPU mesh on
+               a single-chip host; real chips when available)
+  pipeline     filter -> join -> aggregate (TPC-H-style shape)
+
+Usage: python -m benchmarks.run --config onechip [--n 26] [--reps 3]
+Artifacts: experiment-<nodes>-<id>/<rank>.perf|.info|.json (reference
+Measurements::storeAllMeasurements, Measurements.cpp:707-776).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x):
+    # block_until_ready is a no-op on some remote backends; a 1-element
+    # device_get is the reliable fence.
+    _ = np.asarray(jax.device_get(jnp.ravel(x)[0:1]))
+
+
+def run_join_config(n: int, reps: int, skew: bool, meas, cfg):
+    from radixjoin_tpu.data import relation as gen
+    from radixjoin_tpu.engine.join import join_count, total_matches
+
+    with meas.phase("GENERATE", tuples=2 * n):
+        r = gen.fill_unique(n, jax.random.key(0))
+        if skew:
+            s = gen.fill_zipf(n, jax.random.key(1), domain=n, theta=1.05)
+        else:
+            s = gen.fill_unique(n, jax.random.key(1))
+        _sync(r.keys); _sync(s.keys)
+
+    with meas.phase("COMPILE"):
+        res = join_count(r, s, cfg, skew_aware=skew)
+        _sync(res.matches)
+
+    got = total_matches(res)
+    if not skew:
+        assert got == n, f"oracle mismatch: {got} != {n}"
+
+    per_pass_bytes = 2 * n * 8  # two SoA u32 arrays read+written
+    with meas.phase("JOIN", tuples=2 * n * reps,
+                    hbm_bytes=reps * per_pass_bytes * 5):
+        for _ in range(reps):
+            res = join_count(r, s, cfg, skew_aware=skew)
+            _sync(res.matches)
+    return got
+
+
+def run_distributed_config(n_per_shard: int, n_devices: int, reps: int,
+                           meas, cfg):
+    from jax.sharding import Mesh
+    from radixjoin_tpu.data import relation as gen
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join, total_distributed_matches)
+
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+        devs = jax.devices()
+    n_devices = min(n_devices, len(devs))
+    mesh = Mesh(np.asarray(devs[:n_devices]), ("nodes",))
+    n = n_per_shard * n_devices
+
+    with meas.phase("GENERATE", tuples=2 * n):
+        r = gen.fill_unique(n, jax.random.key(0))
+        s = gen.fill_unique(n, jax.random.key(1))
+        _sync(r.keys)
+
+    run = make_distributed_join(mesh, n_per_shard, n_per_shard, cfg,
+                                shuffle_rounds=2)
+    with meas.phase("COMPILE"):
+        res = run(r, s)
+        _sync(res.partial_matches)
+    got = total_distributed_matches(res)
+    assert got == n, f"distributed oracle mismatch: {got} != {n}"
+
+    shuffle_bytes = 2 * n * 8  # each tuple crosses the interconnect once
+    with meas.phase("JOIN", tuples=2 * n * reps,
+                    ici_bytes=reps * shuffle_bytes):
+        for _ in range(reps):
+            res = run(r, s)
+            _sync(res.partial_matches)
+    return got, n_devices
+
+
+def run_pipeline_config(n: int, reps: int, meas):
+    from radixjoin_tpu.data import relation as gen
+    from radixjoin_tpu.engine.pipeline import filter_join_aggregate
+
+    with meas.phase("GENERATE", tuples=3 * n):
+        orders = gen.fill_unique(n, jax.random.key(0))
+        lineitem = gen.fill_modulo(2 * n, jax.random.key(1), n)
+        _sync(orders.keys)
+
+    pred = lambda k, rid: k < jnp.uint32(n // 10)   # 10% selectivity filter
+    with meas.phase("COMPILE"):
+        res = filter_join_aggregate(orders, lineitem, pred, None,
+                                    max_out=max(1024, n // 2),
+                                    max_groups=max(256, n // 8))
+        _sync(res.group_sums)
+    with meas.phase("PIPELINE", tuples=3 * n * reps):
+        for _ in range(reps):
+            res = filter_join_aggregate(orders, lineitem, pred, None,
+                                        max_out=max(1024, n // 2),
+                                        max_groups=max(256, n // 8))
+            _sync(res.group_sums)
+    return int(res.join_count)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="onechip",
+                    choices=["small", "onechip", "skew", "distributed",
+                             "pipeline"])
+    ap.add_argument("--n", type=int, default=None,
+                    help="log2 tuples per relation (per shard for distributed)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--store", action="store_true",
+                    help="write experiment-*/ measurement artifacts")
+    args = ap.parse_args(argv)
+
+    from radixjoin_tpu import JoinConfig
+    from radixjoin_tpu.perf.measurements import Measurements
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = JoinConfig(use_pallas=on_tpu)
+    meas = Measurements()
+    meas.meta["CONFIG"] = args.config
+    meas.meta["BACKEND"] = jax.default_backend()
+
+    defaults = {"small": 20, "onechip": 26 if on_tpu else 20,
+                "skew": 24 if on_tpu else 18,
+                "distributed": 11, "pipeline": 20 if on_tpu else 16}
+    logn = args.n if args.n is not None else defaults[args.config]
+    n = 1 << logn
+    meas.meta["LOG2N"] = logn
+
+    if args.config == "distributed":
+        got, ndev = run_distributed_config(n, args.devices, args.reps, meas,
+                                           cfg.replace(use_pallas=False
+                                                       if not on_tpu else
+                                                       cfg.use_pallas))
+        meas.n_nodes = ndev
+        print(f"matches={got} devices={ndev}", file=sys.stderr)
+    elif args.config == "pipeline":
+        got = run_pipeline_config(n, args.reps, meas)
+        print(f"join_count={got}", file=sys.stderr)
+    else:
+        got = run_join_config(n, args.reps, skew=(args.config == "skew"),
+                              meas=meas, cfg=cfg)
+        print(f"matches={got}", file=sys.stderr)
+
+    meas.print_summary()
+    if args.store:
+        d = meas.store()
+        print(f"stored measurements in {d}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

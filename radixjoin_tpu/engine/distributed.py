@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation, radix_bits
+from ..ops import skew as skew_ops
 from ..ops.buildprobe import probe_count_tiered
 from ..ops.partition import partition_relation
 from ..parallel.metadata import compute_metadata
@@ -51,7 +52,8 @@ def total_distributed_matches(res: DistributedJoinResult) -> int:
 def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                           cfg: JoinConfig = DEFAULT_CONFIG,
                           local_bits: int | None = None,
-                          shuffle_rounds: int = 1):
+                          shuffle_rounds: int = 1,
+                          skew_aware: bool = False):
     """Build the jitted SPMD join for given static per-shard sizes.
 
     Returns fn(r: Relation, s: Relation) -> DistributedJoinResult where the
@@ -77,23 +79,65 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
     p_local = 1 << local_bits
 
     def shard_fn(rk, rr, sk, sr):
+        # ---- phase 0 (optional): distributed heavy-hitter pre-pass ----
+        # Mirrors the single-chip skew path (engine/join.py) across the
+        # mesh: per-shard sampled candidates -> all_gather + dedup ->
+        # exact global frequencies by psum of local compare-counts ->
+        # closed-form heavy match contribution; heavy rows never enter the
+        # shuffle (the reference's skew kernels only act locally,
+        # kernels_optimized.cu:301-457 — acting *before* the network phase
+        # is the distributed upgrade: it also removes the shuffle hotspot).
+        heavy_total = jnp.int32(0)
+        drop_r = drop_s = None
+        if skew_aware:
+            my = jax.lax.axis_index(axis)
+            key = jax.random.fold_in(jax.random.key(0), my)
+            kr, ks = jax.random.split(key)
+            k_half = max(8, cfg.max_heavy_keys // (2 * n_dev))
+            hh_r = skew_ops.detect_heavy_keys(rk, kr, k_half)
+            hh_s = skew_ops.detect_heavy_keys(sk, ks, k_half)
+            cand_keys = jax.lax.all_gather(
+                jnp.concatenate([hh_r.keys, hh_s.keys]), axis).reshape(-1)
+            cand_valid = jax.lax.all_gather(
+                jnp.concatenate([hh_r.valid, hh_s.valid]), axis).reshape(-1)
+            hh = skew_ops.dedup_heavy(
+                skew_ops.HeavyHitters(cand_keys, cand_valid))
+            cr = jax.lax.psum(skew_ops.count_exact(rk, hh), axis)
+            cs = jax.lax.psum(skew_ops.count_exact(sk, hh), axis)
+            # Count each key's product once globally (on its owner shard).
+            owner = (jnp.arange(cand_keys.shape[0], dtype=jnp.int32)
+                     % jnp.int32(n_dev))
+            mine = owner == my
+            heavy_total = jnp.sum(jnp.where(mine, cr * cs, 0))
+            drop_r = skew_ops.heavy_mask(rk, hh)
+            drop_s = skew_ops.heavy_mask(sk, hh)
+
         # ---- phase 1: histograms / assignment / offsets ----
+        # Heavy rows get the out-of-range id p_net: excluded from every
+        # histogram bin and shuffled nowhere.
         pid_r = radix_bits(rk, net_bits)
         pid_s = radix_bits(sk, net_bits)
+        if drop_r is not None:
+            pid_r = jnp.where(drop_r, jnp.int32(p_net), pid_r)
+            pid_s = jnp.where(drop_s, jnp.int32(p_net), pid_s)
         meta_r = compute_metadata(pid_r, p_net, axis)
         meta_s = compute_metadata(pid_s, p_net, axis)
 
         # ---- phase 3: network partitioning (ICI all-to-all) ----
-        dest_r = meta_r.assignment[pid_r]
-        dest_s = meta_s.assignment[pid_s]
+        pid_r_c = jnp.minimum(pid_r, p_net - 1)
+        pid_s_c = jnp.minimum(pid_s, p_net - 1)
+        dest_r = meta_r.assignment[pid_r_c]
+        dest_s = meta_s.assignment[pid_s_c]
         if shuffle_rounds > 1:
             shuf_r = shuffle_chunked(rk, rr, dest_r, cap_r, axis,
-                                     shuffle_rounds)
+                                     shuffle_rounds, drop_r)
             shuf_s = shuffle_chunked(sk, sr, dest_s, cap_s, axis,
-                                     shuffle_rounds)
+                                     shuffle_rounds, drop_s)
         else:
-            shuf_r = shuffle_by_destination(rk, rr, dest_r, cap_r, axis)
-            shuf_s = shuffle_by_destination(sk, sr, dest_s, cap_s, axis)
+            shuf_r = shuffle_by_destination(rk, rr, dest_r, cap_r, axis,
+                                            drop_r)
+            shuf_s = shuffle_by_destination(sk, sr, dest_s, cap_s, axis,
+                                            drop_s)
 
         # all-tuples-written invariant (data/Window.cpp:180-191): every
         # tuple this shard received is valid-marked; counts must reconcile.
@@ -118,7 +162,7 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
             r_part, s_part, pcap_r, pcap_s,
             tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
 
-        return (matches[None].astype(jnp.int32),
+        return ((matches + heavy_total)[None].astype(jnp.int32),
                 (ok & tiers_ok)[None],
                 meta_r.global_hist, meta_s.global_hist)
 

@@ -39,7 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.backend import pallas_interpret
-from .partition import PartitionedRelation, gather_padded
+from .partition import (PartitionedRelation, gather_padded,
+                        gather_padded_aligned)
 from .skew import partition_tiers
 
 
@@ -76,7 +77,7 @@ _R_PAD_KEY = 0xFFFFFFFF   # padding sentinels: outside the engine key domain
 _S_PAD_KEY = 0xFFFFFFFE   # (distinct per side so padding never matches)
 
 
-def _probe_count_kernel(rk_ref, sk_ref, out_ref):
+def _probe_count_kernel(rcnt_ref, scnt_ref, rk_ref, sk_ref, out_ref):
     """One grid step: count matches of S tile j against R partition p.
 
     All-pairs equality via the **lane-roll** technique: both operands live in
@@ -97,89 +98,77 @@ def _probe_count_kernel(rk_ref, sk_ref, out_ref):
     p = pl.program_id(0)
     j = pl.program_id(1)
     k = jax.lax.rem(p, _ROWS)
+    tile = sk_ref.shape[0] * 128
 
     @pl.when((j == 0) & (k == 0))
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    r2d = rk_ref[...]                                  # (R8, 128)
-    ts = sk_ref.shape[0]
-
-    def srow_body(i, acc):
-        srow = sk_ref[pl.ds(i, 1), :]                  # (1, 128)
+    # Early exit for empty partitions / exhausted S — the analogue of the
+    # reference's per-task size checks (HashJoin.cpp:146-158 skips empty
+    # partitions).  Critical for the tier passes, where most slots are idle.
+    @pl.when((rcnt_ref[p] > 0) & (scnt_ref[p] > j * tile))
+    def _():
+        r2d = rk_ref[...]                              # (R8, 128)
+        s2d = sk_ref[...]                              # (TS, 128)
+        ts = sk_ref.shape[0]
 
         def shift_body(sh, acc):
-            rolled = pltpu.roll(srow, sh, axis=1)
-            return acc + (r2d == rolled).astype(jnp.int32)
+            rolled = pltpu.roll(s2d, sh, axis=1)       # one roll per shift
+            for i in range(ts):                        # static unroll
+                acc = acc + (r2d == rolled[i:i + 1, :]).astype(jnp.int32)
+            return acc
 
-        return jax.lax.fori_loop(0, 128, shift_body, acc)
+        acc = jax.lax.fori_loop(
+            0, 128, shift_body, jnp.zeros(r2d.shape, jnp.int32))
+        cnt = jnp.sum(acc, axis=0, keepdims=True)      # (1, 128) lane counts
 
-    acc = jax.lax.fori_loop(
-        0, ts, srow_body, jnp.zeros(r2d.shape, jnp.int32))
-    cnt = jnp.sum(acc, axis=0, keepdims=True)          # (1, 128) lane counts
-
-    krow = (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0) == k)
-    out_ref[...] += jnp.where(krow, cnt, 0)
+        krow = (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0) == k)
+        out_ref[...] += jnp.where(krow, cnt, 0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile", "interpret"))
-def _probe_count_dense(r_pad, s_pad, r_counts, s_counts, tile: int,
-                       interpret: bool):
-    P, cap_r = r_pad.shape
-    _, cap_s = s_pad.shape
+                   static_argnames=("cap_r", "cap_s", "tile", "interpret"))
+def _probe_count_native(r3, s3, r_counts, s_counts, cap_r: int, cap_s: int,
+                        tile: int, interpret: bool):
+    """Probe over native-layout padded partitions.
 
-    def pad_cols(x, cap, sentinel):
-        new = ((cap + 1023) // 1024) * 1024   # sublane blocks need cap/128 % 8 == 0
-        if new != cap:
-            x = jnp.pad(x, ((0, 0), (0, new - cap)),
-                        constant_values=jnp.uint32(sentinel))
-        return x, new
-
-    # Sentinel-fill padding slots (masking-by-value), pad columns to 1024
-    # multiples and the partition dimension to the sublane tile.
-    r_pad = jnp.where(jnp.arange(cap_r)[None, :] < r_counts[:, None],
-                      r_pad, jnp.uint32(_R_PAD_KEY))
-    s_pad = jnp.where(jnp.arange(cap_s)[None, :] < s_counts[:, None],
-                      s_pad, jnp.uint32(_S_PAD_KEY))
-    r_pad, cap_r = pad_cols(r_pad, cap_r, _R_PAD_KEY)
-    s_pad, cap_s = pad_cols(s_pad, cap_s, _S_PAD_KEY)
-    P8 = ((P + _ROWS - 1) // _ROWS) * _ROWS
-    if P8 != P:
-        pad = P8 - P
-        r_pad = jnp.pad(r_pad, ((0, pad), (0, 0)),
-                        constant_values=jnp.uint32(_R_PAD_KEY))
-        s_pad = jnp.pad(s_pad, ((0, pad), (0, 0)),
-                        constant_values=jnp.uint32(_S_PAD_KEY))
-
+    ``r3``/``s3``: [P8 * cap/128, 128] sentinel-padded partition tensors
+    (from ops/partition.gather_padded_aligned); P8 a multiple of 8, caps
+    multiples of 1024.  Returns per-partition match counts int32[P8].
+    """
+    P8 = r_counts.shape[0]
     tile = min(tile, cap_s)
     tile = max(1024, (tile // 1024) * 1024)
     if cap_s % tile != 0:
         tile = 1024             # always divides cap_s (a multiple of 1024)
     n_tiles = cap_s // tile
-
-    # Native-layout 2-D views: each partition is cap/128 rows of 128 lanes.
-    r3 = r_pad.reshape(P8 * (cap_r // 128), 128)
-    s3 = s_pad.reshape(P8 * (cap_s // 128), 128)
     r_rows = cap_r // 128
     t_rows = tile // 128
 
-    per_lane = pl.pallas_call(
-        _probe_count_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        # Counts ride along as scalar-prefetch args: SMEM-resident, indexable
+        # by grid position, powering the kernel's empty-partition early exit.
+        num_scalar_prefetch=2,
         grid=(P8, n_tiles),
         in_specs=[
-            pl.BlockSpec((r_rows, 128), lambda p, j: (p, 0),
+            pl.BlockSpec((r_rows, 128), lambda p, j, rc, sc: (p, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t_rows, 128),
-                         lambda p, j, _n=n_tiles: (p * _n + j, 0),
+                         lambda p, j, rc, sc, _n=n_tiles: (p * _n + j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_ROWS, 128), lambda p, j: (p // _ROWS, 0),
+        out_specs=pl.BlockSpec((_ROWS, 128),
+                               lambda p, j, rc, sc: (p // _ROWS, 0),
                                memory_space=pltpu.VMEM),
+    )
+    per_lane = pl.pallas_call(
+        _probe_count_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P8, 128), jnp.int32),
         interpret=interpret,
-    )(r3, s3)
-    return jnp.sum(per_lane[:P], axis=1)
+    )(r_counts.astype(jnp.int32), s_counts.astype(jnp.int32), r3, s3)
+    return jnp.sum(per_lane, axis=1)
 
 
 def probe_count_partitioned(r_part: PartitionedRelation,
@@ -204,25 +193,42 @@ def probe_count_partitioned(r_part: PartitionedRelation,
 
 def _probe_count_arrays(r_keys, r_starts, r_counts, s_keys, s_starts,
                         s_counts, cap_r, cap_s, tile, use_pallas, interpret):
+    if use_pallas:
+        # Full-Pallas path: aligned-DMA padded materialisation (no XLA
+        # gather) straight into the probe kernel's native layout.
+        cap_r = ((cap_r + 1023) // 1024) * 1024
+        cap_s = ((cap_s + 1023) // 1024) * 1024
+        P = r_starts.shape[0]
+        P8 = ((P + _ROWS - 1) // _ROWS) * _ROWS
+        if P8 != P:
+            z = ((0, P8 - P),)
+            r_starts = jnp.pad(r_starts, z)
+            s_starts = jnp.pad(s_starts, z)
+            r_counts = jnp.pad(r_counts, z)
+            s_counts = jnp.pad(s_counts, z)
+        r3 = gather_padded_aligned(r_keys, r_starts, r_counts, cap_r,
+                                   _R_PAD_KEY, interpret)
+        s3 = gather_padded_aligned(s_keys, s_starts, s_counts, cap_s,
+                                   _S_PAD_KEY, interpret)
+        per_lane = _probe_count_native(r3, s3, r_counts, s_counts,
+                                       cap_r, cap_s, tile, interpret)
+        return per_lane[:P]
+
+    # jnp fallback with identical semantics (used in CPU tests):
+    # per-partition sort-merge — O(cap log cap) per row instead of the
+    # O(cap_r * cap_s) compare tensor, which explodes at big tier caps.
     r_pad, _ = gather_padded(r_keys, r_starts, r_counts, cap_r)
     s_pad, _ = gather_padded(s_keys, s_starts, s_counts, cap_s)
-    if not use_pallas:
-        # jnp fallback with identical semantics (used in CPU tests):
-        # per-partition sort-merge — O(cap log cap) per row instead of the
-        # O(cap_r * cap_s) compare tensor, which explodes at big tier caps.
-        r_valid = (jnp.arange(cap_r)[None, :] < r_counts[:, None])
-        s_valid = (jnp.arange(cap_s)[None, :] < s_counts[:, None])
-        sentinel = jnp.uint32(0xFFFFFFFF)  # outside the engine key domain
-        r_sorted = jnp.sort(jnp.where(r_valid, r_pad, sentinel), axis=1)
-        lo = jax.vmap(lambda rk, sk: jnp.searchsorted(rk, sk, side="left"))(
-            r_sorted, s_pad)
-        hi = jax.vmap(lambda rk, sk: jnp.searchsorted(rk, sk, side="right"))(
-            r_sorted, s_pad)
-        cnt = jnp.where(s_valid, hi - lo, 0)
-        return jnp.sum(cnt, axis=1, dtype=jnp.int32)
-    tile = min(tile, cap_s)
-    return _probe_count_dense(r_pad, s_pad, r_counts, s_counts,
-                              tile, interpret)
+    r_valid = (jnp.arange(cap_r)[None, :] < r_counts[:, None])
+    s_valid = (jnp.arange(cap_s)[None, :] < s_counts[:, None])
+    sentinel = jnp.uint32(0xFFFFFFFF)  # outside the engine key domain
+    r_sorted = jnp.sort(jnp.where(r_valid, r_pad, sentinel), axis=1)
+    lo = jax.vmap(lambda rk, sk: jnp.searchsorted(rk, sk, side="left"))(
+        r_sorted, s_pad)
+    hi = jax.vmap(lambda rk, sk: jnp.searchsorted(rk, sk, side="right"))(
+        r_sorted, s_pad)
+    cnt = jnp.where(s_valid, hi - lo, 0)
+    return jnp.sum(cnt, axis=1, dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +272,10 @@ def probe_count_tiered(r_part: PartitionedRelation,
         cap_r, cap_s, tile, use_pallas, interpret)))
 
     for t in range(1, n_tiers):
-        k_t = min(P, max(8, P // (slot_shrink ** t)))
+        # Tier slots are capped: after heavy-key removal only a handful of
+        # partitions can legitimately exceed the base capacity, and every
+        # slot costs a full cap_t-wide kernel pass whether occupied or not.
+        k_t = min(P, 512, max(8, P // (slot_shrink ** t)))
         in_tier = tier == t
         ok = ok & (jnp.sum(in_tier.astype(jnp.int32)) <= k_t)
         score = jnp.where(in_tier, s_part.counts + r_part.counts, -1)

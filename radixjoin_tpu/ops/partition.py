@@ -23,10 +23,13 @@ partitioning is provided by :func:`partition_chunked`.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..data.tuples import Relation, radix_bits
 from .histogram import histogram_sorted
@@ -153,6 +156,91 @@ def gather_padded(keys: jnp.ndarray, starts: jnp.ndarray,
     valid = slot < counts[:, None]
     idx = jnp.clip(idx, 0, keys.shape[0] - 1)
     return jnp.where(valid, keys[idx], 0), valid
+
+
+# ---------------------------------------------------------------------------
+# Pallas padded-partition materialisation.
+#
+# After the sort, partition p is the contiguous slice
+# [starts[p], starts[p]+counts[p]) — but unaligned, and XLA's general gather
+# is ~100x off HBM speed-of-light for this access pattern.  This kernel
+# exploits contiguity: per partition it DMAs the 128-aligned superset of the
+# slice (row-granular, DMA-friendly), then realigns by the (start % 128)
+# element offset entirely with lane/sublane rolls — the Mosaic-legal way to
+# shift a flattened vector, since cross-lane relayouts are unsupported.
+# Slots past the partition's count are filled with a caller-chosen sentinel
+# (the probe kernels mask by value, not by index).
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(sentinel, st_ref, c_ref, src_ref, out_ref, scratch, sem):
+    p = pl.program_id(0)
+    rows = out_ref.shape[0]            # cap // 128
+    start = st_ref[p]
+    count = c_ref[p]
+    row0 = start // 128                # aligned DMA row
+    k = start - row0 * 128             # in-row offset, 0..127
+
+    copy = pltpu.make_async_copy(
+        src_ref.at[pl.ds(row0, rows + 1), :], scratch, sem)
+    copy.start()
+    copy.wait()
+
+    data = scratch[...]                                   # (rows+1, 128)
+    # Element shift by k = lane roll by (128 - k) % 128 + one-row roll,
+    # merged by a lane mask (rolls are the only Mosaic-legal cross-position
+    # moves).  The rem keeps the dynamic shift in [0, 128) — a full-width
+    # roll faults the DMA engine's shift unit.
+    rolled = pltpu.roll(data, jax.lax.rem(128 - k, 128), axis=1)
+    row_shift = pltpu.roll(rolled, rows, axis=0)          # rolled[r+1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rows + 1, 128), 1)
+    shifted = jnp.where(lanes < 128 - k, rolled, row_shift)[:rows, :]
+
+    slot = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1))
+    out_ref[...] = jnp.where(slot < count, shifted,
+                             jnp.full((), sentinel, out_ref.dtype))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("capacity", "sentinel", "interpret"))
+def gather_padded_aligned(values: jnp.ndarray, starts: jnp.ndarray,
+                          counts: jnp.ndarray, capacity: int,
+                          sentinel: int, interpret: bool = False):
+    """[P * capacity/128, 128] padded partition tensor via aligned DMA.
+
+    ``capacity`` must be a multiple of 1024.  Returns the native-layout 2-D
+    view consumed by the probe kernels (partition p = rows
+    [p*cap/128, (p+1)*cap/128)), padding slots = ``sentinel``.
+    """
+    assert capacity % 1024 == 0
+    P = starts.shape[0]
+    rows = capacity // 128
+    n = values.shape[0]
+    # Tail headroom so the aligned superset DMA never runs off the array.
+    m = ((n + capacity + 256) // 128 + 1)
+    pad = m * 128 - n
+    src = jnp.concatenate(
+        [values,
+         jnp.full((pad,), jnp.asarray(sentinel, values.dtype))]
+    ).reshape(m, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((rows, 128), lambda p, st_, c_: (p, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 1, 128), values.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, sentinel),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P * rows, 128), values.dtype),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), counts.astype(jnp.int32), src)
 
 
 def gather_padded_partitions(part: PartitionedRelation, capacity: int):

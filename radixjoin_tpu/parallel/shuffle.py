@@ -44,12 +44,19 @@ class ShuffledShard(NamedTuple):
 
 
 def shuffle_by_destination(keys: jnp.ndarray, rids: jnp.ndarray,
-                           dest: jnp.ndarray, capacity: int, axis: str
+                           dest: jnp.ndarray, capacity: int, axis: str,
+                           drop_mask: jnp.ndarray | None = None
                            ) -> ShuffledShard:
     """Exchange tuples so device d ends up with all tuples whose
     ``dest == d``.  ``dest``: int32[n] in [0, axis_size).
+
+    Rows with ``drop_mask`` True are not sent at all (they sort past the
+    last destination) — used by the skew path to keep heavy keys out of the
+    network phase entirely.
     """
     n_dev = jax.lax.axis_size(axis)
+    if drop_mask is not None:
+        dest = jnp.where(drop_mask, n_dev, dest)
     # Group by destination (the reference's WC-buffer scatter,
     # NetworkPartitioning.cpp:116-173, as a sort).
     sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1, is_stable=True)
@@ -68,7 +75,8 @@ def shuffle_by_destination(keys: jnp.ndarray, rids: jnp.ndarray,
 
 
 def shuffle_chunked(keys: jnp.ndarray, rids: jnp.ndarray, dest: jnp.ndarray,
-                    capacity: int, axis: str, n_rounds: int) -> ShuffledShard:
+                    capacity: int, axis: str, n_rounds: int,
+                    drop_mask: jnp.ndarray | None = None) -> ShuffledShard:
     """Multi-round shuffle: the exchange is split into ``n_rounds`` slices of
     the send buffer so XLA can overlap round k's ICI transfer with round
     k-1's downstream compute — the TPU analogue of the reference's
@@ -77,6 +85,8 @@ def shuffle_chunked(keys: jnp.ndarray, rids: jnp.ndarray, dest: jnp.ndarray,
     Capacity must be divisible by n_rounds.
     """
     n_dev = jax.lax.axis_size(axis)
+    if drop_mask is not None:
+        dest = jnp.where(drop_mask, n_dev, dest)
     sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1, is_stable=True)
     counts, starts = histogram_sorted(sd, n_dev)
     overflow = jnp.any(counts > jnp.int32(capacity))

@@ -127,6 +127,26 @@ def test_distributed_join_chunked_shuffle(mesh8):
     assert total_distributed_matches(res) == n
 
 
+def test_distributed_join_skew_aware(mesh8):
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    hot = n // 4
+    rng = np.random.default_rng(8)
+    r = gen.fill_unique(n, jax.random.key(9))
+    sk = np.concatenate([rng.integers(0, n, n - hot, dtype=np.uint32),
+                         np.full(hot, 321, np.uint32)])
+    rng.shuffle(sk)
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    want = _np_join_count(np.asarray(r.keys), sk)
+
+    run = make_distributed_join(mesh8, per, per, CFG, skew_aware=True)
+    res = run(r, s)
+    assert np.asarray(res.ok).all(), \
+        "heavy-hitter pre-pass should keep the shuffle within capacity"
+    assert total_distributed_matches(res) == want
+
+
 def test_distribute_sections(mesh8):
     n_dev = 8
     per = 1024
