@@ -28,7 +28,7 @@ from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation
 from ..ops import skew as skew_ops
 from ..ops.buildprobe import (probe_count_sorted, probe_count_tiered,
-                              join_materialize)
+                              probe_count_banded, join_materialize)
 from ..ops.partition import partition_relation
 from ..ops.sort import sort_relation
 
@@ -101,7 +101,12 @@ def join_count(r: Relation, s: Relation,
         return JoinResult(matches, zero_heavy, jnp.bool_(True))
 
     if bits is None:
-        bits = auto_fanout_bits(max(r.size, s.size))
+        # The banded probe wants fine partitions (its compare volume is the
+        # S-window, ~ the per-row pid span), the padded/tiered probe coarser
+        # ones (its cost is the padded capacity).
+        target = 128 if mode == "banded" else 1024
+        bits = auto_fanout_bits(max(r.size, s.size), target_mean=target,
+                                max_bits=22)
     n_parts = 1 << bits
 
     heavy = zero_heavy
@@ -130,11 +135,22 @@ def join_count(r: Relation, s: Relation,
     r_part = partition_relation(r, bits, shift, drop_r)
     s_part = partition_relation(s, bits, shift, drop_s)
 
-    cap_r = cfg.partition_capacity(r.size, n_parts)
-    cap_s = cfg.partition_capacity(s.size, n_parts)
-    matches, ok = probe_count_tiered(
-        r_part, s_part, cap_r, cap_s,
-        tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
+    if mode == "banded":
+        # Window sized to the expected S-rows an R row's pid span covers
+        # (2 alignment rows + 4x the mean per-partition S rows of slack);
+        # violations flip `ok` and callers escalate.
+        mean_s_rows = max(1, -(-s.size // (n_parts * 128)))
+        window = 2 + 4 * mean_s_rows
+        band = -(-(8 * mean_s_rows + window + 8) // 8)
+        matches, ok = probe_count_banded(r_part, s_part,
+                                         window_rows=window,
+                                         band_blocks=band)
+    else:
+        cap_r = cfg.partition_capacity(r.size, n_parts)
+        cap_s = cfg.partition_capacity(s.size, n_parts)
+        matches, ok = probe_count_tiered(
+            r_part, s_part, cap_r, cap_s,
+            tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
     return JoinResult(matches, heavy, ok)
 
 

@@ -232,6 +232,181 @@ def _probe_count_arrays(r_keys, r_starts, r_counts, s_keys, s_starts,
 
 
 # ---------------------------------------------------------------------------
+# Banded probe — the zero-copy fast path.
+#
+# Key insight: after radix partitioning, comparing tuples from *different*
+# partitions can never produce a match (their radix bits differ), so the
+# probe needs no partition boundaries for correctness — only to bound the
+# comparison volume.  Both relations stay in their sorted-by-pid order in
+# HBM (no gather, no padded materialisation); each 8x128 R group is compared
+# against the contiguous S *band* spanning its partitions, and within the
+# band each 128-element R row only against the ~W s-rows its own pids span.
+# The window offsets are precomputed vectorised on the XLA side and handed
+# to the kernel as scalar-prefetch arrays.
+#
+# This replaces the fixed-width-bucket design of the reference's
+# build_kernel_eth (eth.cu:81-109) with something no GPU can do: the "hash
+# table" is the sorted layout itself, and the band/window metadata is the
+# entire build phase.
+# ---------------------------------------------------------------------------
+
+def _probe_banded_kernel(w, b8, wg_ref, wrel_ref, rk_ref, s_ref, out_ref,
+                         scratch, sem):
+    g = pl.program_id(0)
+    k = jax.lax.rem(g, _ROWS)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    copy = pltpu.make_async_copy(
+        s_ref.at[pl.ds(wg_ref[g], b8), :], scratch, sem)
+    copy.start()
+    copy.wait()
+
+    # Row-major: hoist each row's dynamic window slice out of the shift
+    # loop, then run the 128 lane shifts fully unrolled so every roll has a
+    # static immediate shift (dynamic rolls + per-shift dynamic slices were
+    # ~10x overhead).
+    acc = jnp.zeros((w, 128), jnp.int32)
+    for i in range(_ROWS):                             # static unroll
+        base = wrel_ref[g * _ROWS + i]
+        swin = scratch[pl.ds(base, w), :]              # (W, 128)
+        rrow = rk_ref[i:i + 1, :]                      # (1, 128)
+
+        def shift_body(sh, acc, swin=swin, rrow=rrow):
+            rolled = pltpu.roll(rrow, sh, axis=1)
+            return acc + (swin == rolled).astype(jnp.int32)
+
+        acc = jax.lax.fori_loop(0, 128, shift_body, acc, unroll=128)
+    cnt = jnp.sum(acc)
+
+    krow = ((jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0) == k)
+            & (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1) == 0))
+    out_ref[...] += jnp.where(krow, cnt, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("window_rows", "band_blocks",
+                                             "interpret"))
+def probe_count_banded(r_part: PartitionedRelation,
+                       s_part: PartitionedRelation,
+                       window_rows: int = 6,
+                       band_blocks: int = 3,
+                       interpret: bool | None = None):
+    """Band probe over pid-sorted relations.  Returns (total_i32, ok).
+
+    ``ok`` is False when any R row's S-window exceeds ``window_rows`` rows or
+    any group's band exceeds ``band_blocks`` 1024-blocks — callers escalate
+    to the tiered/padded path (skewed partitions) exactly like the
+    reference's skew detection escalates probe strategies
+    (kernels_optimized.cu:301-311).
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    w = window_rows
+    b8 = band_blocks * _ROWS
+
+    n_r = r_part.keys.shape[0]
+    n_s = s_part.keys.shape[0]
+    s_starts = s_part.starts
+    s_counts = s_part.counts
+    n_parts = s_starts.shape[0]
+
+    # Valid prefixes: rows past sum(counts) are dropped rows (heavy keys /
+    # padding) that sorted to the tail — they must neither match nor widen
+    # any window.
+    valid_r = jnp.sum(r_part.counts)
+    valid_s = jnp.sum(s_part.counts)
+
+    # --- pad R to whole 8x128 groups with sentinels ---
+    n_r_pad = ((n_r + 1023) // 1024) * 1024
+    rk = jnp.where(jnp.arange(n_r) < valid_r, r_part.keys,
+                   jnp.uint32(_R_PAD_KEY))
+    rpid = r_part.pids
+    if n_r_pad != n_r:
+        rk = jnp.concatenate([rk, jnp.full((n_r_pad - n_r,),
+                                           jnp.uint32(_R_PAD_KEY))])
+        rpid = jnp.concatenate([rpid, jnp.full((n_r_pad - n_r,),
+                                               jnp.int32(0))])
+    n_rows = n_r_pad // 128
+    n_groups = n_rows // _ROWS
+
+    # --- pad S with a sentinel tail so band DMAs never run off the end ---
+    n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
+    sk = jnp.where(jnp.arange(n_s) < valid_s, s_part.keys,
+                   jnp.uint32(_S_PAD_KEY))
+    sk = jnp.concatenate([sk, jnp.full((n_s_pad - n_s,),
+                                       jnp.uint32(_S_PAD_KEY))])
+    s2d = sk.reshape(-1, 128)
+    s_max_row = s2d.shape[0] - b8
+
+    # --- per-R-row pid span -> S row windows (vectorised "build phase") ---
+    row_idx = jnp.arange(n_rows, dtype=jnp.int32)
+    last_valid = jnp.maximum(valid_r - 1, 0)
+    first = jnp.minimum(row_idx * 128, last_valid)
+    last = jnp.minimum(row_idx * 128 + 127, last_valid)
+    pid_first = jnp.clip(rpid[first], 0, n_parts - 1)
+    pid_last = jnp.clip(rpid[last], 0, n_parts - 1)
+    w_row = s_starts[pid_first] // 128                       # int32[n_rows]
+    end_row = (s_starts[pid_last] + s_counts[pid_last] + 127) // 128
+    w_row = jnp.clip(w_row, 0, s_max_row)
+
+    # group band start = its first row's window start (monotone in the
+    # sorted order); relative offsets stay within the band.
+    wg = w_row.reshape(n_groups, _ROWS)[:, 0]                # int32[n_groups]
+    wrel = (w_row.reshape(n_groups, _ROWS) - wg[:, None])
+    ok = (jnp.all(end_row - w_row <= w)
+          & jnp.all(wrel + w <= b8)
+          & jnp.all(end_row.reshape(n_groups, _ROWS) - wg[:, None] <= b8))
+    wrel = jnp.clip(wrel, 0, b8 - w).reshape(-1)
+
+    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
+    if n_groups8 != n_groups:
+        pad = n_groups8 - n_groups
+        wg = jnp.concatenate([wg, jnp.zeros((pad,), jnp.int32)])
+        wrel = jnp.concatenate([wrel, jnp.zeros((pad * _ROWS,), jnp.int32)])
+        rk = jnp.concatenate([rk, jnp.full((pad * 1024,),
+                                           jnp.uint32(_R_PAD_KEY))])
+    r2d = rk.reshape(-1, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups8,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, 128), lambda g, wg_, wr_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, 128), lambda g, wg_, wr_: (g // _ROWS, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((b8, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    per_group = pl.pallas_call(
+        functools.partial(_probe_banded_kernel, w, b8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
+        interpret=interpret,
+    )(wg, wrel, r2d, s2d)
+    return jnp.sum(per_group[:, 0]), ok
+
+
+def probe_count_banded_reference(r_part: PartitionedRelation,
+                                 s_part: PartitionedRelation):
+    """jnp-only mirror of probe_count_banded's semantics (CPU oracle):
+    joins the valid prefixes of the two sorted relations."""
+    rk = jnp.where(jnp.arange(r_part.keys.shape[0]) <
+                   jnp.sum(r_part.counts), r_part.keys,
+                   jnp.uint32(_R_PAD_KEY))
+    sk = jnp.where(jnp.arange(s_part.keys.shape[0]) <
+                   jnp.sum(s_part.counts), s_part.keys,
+                   jnp.uint32(_S_PAD_KEY))
+    return probe_count_sorted(jnp.sort(rk), sk)
+
+
+# ---------------------------------------------------------------------------
 # Tiered probe — partition-level skew handling (see ops/skew.py §1; the
 # reference's block-remapping probes, kernels_optimized.cu:321-457, become
 # repeated fixed-capacity passes over geometrically growing tiers).

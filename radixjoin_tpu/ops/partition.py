@@ -172,7 +172,8 @@ def gather_padded(keys: jnp.ndarray, starts: jnp.ndarray,
 # (the probe kernels mask by value, not by index).
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(sentinel, st_ref, c_ref, src_ref, out_ref, scratch, sem):
+def _gather_kernel(sentinel, st_ref, c_ref, src_ref, out_ref,
+                   scr_a, scr_b, sem_a, sem_b):
     p = pl.program_id(0)
     rows = out_ref.shape[0]            # cap // 128
     start = st_ref[p]
@@ -180,20 +181,26 @@ def _gather_kernel(sentinel, st_ref, c_ref, src_ref, out_ref, scratch, sem):
     row0 = start // 128                # aligned DMA row
     k = start - row0 * 128             # in-row offset, 0..127
 
-    copy = pltpu.make_async_copy(
-        src_ref.at[pl.ds(row0, rows + 1), :], scratch, sem)
-    copy.start()
-    copy.wait()
+    # Two row-granular DMAs, one row apart: every op below stays on
+    # uniform (rows, 128) tiles — no odd-height vectors, no sublane-offset
+    # reads (both fault Mosaic/the DMA engine).
+    copy_a = pltpu.make_async_copy(
+        src_ref.at[pl.ds(row0, rows), :], scr_a, sem_a)
+    copy_b = pltpu.make_async_copy(
+        src_ref.at[pl.ds(row0 + 1, rows), :], scr_b, sem_b)
+    copy_a.start()
+    copy_b.start()
+    copy_a.wait()
+    copy_b.wait()
 
-    data = scratch[...]                                   # (rows+1, 128)
-    # Element shift by k = lane roll by (128 - k) % 128 + one-row roll,
-    # merged by a lane mask (rolls are the only Mosaic-legal cross-position
-    # moves).  The rem keeps the dynamic shift in [0, 128) — a full-width
-    # roll faults the DMA engine's shift unit.
-    rolled = pltpu.roll(data, jax.lax.rem(128 - k, 128), axis=1)
-    row_shift = pltpu.roll(rolled, rows, axis=0)          # rolled[r+1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (rows + 1, 128), 1)
-    shifted = jnp.where(lanes < 128 - k, rolled, row_shift)[:rows, :]
+    # Element shift by k: lane roll both images by (128 - k) % 128, then
+    # take low lanes from the row-r image and high lanes from the row-r+1
+    # image (rolls are the only Mosaic-legal cross-position moves).
+    sh = jax.lax.rem(128 - k, 128)
+    rolled_a = pltpu.roll(scr_a[...], sh, axis=1)         # (rows, 128)
+    rolled_b = pltpu.roll(scr_b[...], sh, axis=1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    shifted = jnp.where(lanes < 128 - k, rolled_a, rolled_b)
 
     slot = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
             + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1))
@@ -231,7 +238,9 @@ def gather_padded_aligned(values: jnp.ndarray, starts: jnp.ndarray,
         out_specs=pl.BlockSpec((rows, 128), lambda p, st_, c_: (p, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows + 1, 128), values.dtype),
+            pltpu.VMEM((rows, 128), values.dtype),
+            pltpu.VMEM((rows, 128), values.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -202,6 +202,47 @@ def test_join_materialize():
     assert len(pairs) == want
 
 
+def test_probe_count_banded():
+    rng = np.random.default_rng(20)
+    r = rng.integers(0, 3000, 4096).astype(np.uint32)
+    s = rng.integers(0, 3000, 8192).astype(np.uint32)
+    bits = 5   # mean partition = 128/256
+    rp = part.partition_relation(make_relation(r, np.arange(4096)), bits)
+    sp = part.partition_relation(make_relation(s, np.arange(8192)), bits)
+    total, ok = bp.probe_count_banded(rp, sp, window_rows=10, band_blocks=5)
+    assert bool(ok)
+    assert int(total) == _np_join_count(r, s)
+
+
+def test_probe_count_banded_with_drop_mask():
+    rng = np.random.default_rng(21)
+    r = rng.integers(0, 3000, 4096).astype(np.uint32)
+    s = rng.integers(0, 3000, 4096).astype(np.uint32)
+    drop_r = jnp.asarray(r % 5 == 0)
+    drop_s = jnp.asarray(s % 7 == 0)
+    bits = 5
+    rp = part.partition_relation(make_relation(r, np.arange(4096)), bits,
+                                 drop_mask=drop_r)
+    sp = part.partition_relation(make_relation(s, np.arange(4096)), bits,
+                                 drop_mask=drop_s)
+    total, ok = bp.probe_count_banded(rp, sp, window_rows=6, band_blocks=4)
+    assert bool(ok)
+    want = _np_join_count(r[r % 5 != 0], s[s % 7 != 0])
+    assert int(total) == want
+    # reference-path agreement
+    assert int(bp.probe_count_banded_reference(rp, sp)) == want
+
+
+def test_probe_count_banded_overflow_flag():
+    # single giant partition: window bound must trip
+    r = np.zeros(4096, dtype=np.uint32)
+    s = np.zeros(4096, dtype=np.uint32)
+    rp = part.partition_relation(make_relation(r, np.arange(4096)), 5)
+    sp = part.partition_relation(make_relation(s, np.arange(4096)), 5)
+    _, ok = bp.probe_count_banded(rp, sp, window_rows=4, band_blocks=2)
+    assert not bool(ok)
+
+
 # -------------------------- sort / filter / aggregate --------------------------
 
 def test_sort_relation():
