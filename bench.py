@@ -3,9 +3,9 @@
 
 Workload: the reference's self-validating join (dense unique keys both sides,
 reference main.cpp:70-98) scaled to the chip.  Metric: joined tuples/s
-(2N tuples processed end-to-end: histogram + partition + build/probe), as
-M-tuples/s.  vs_baseline: fraction of the BASELINE.json target, which is 70%
-of the HBM-bound two-pass-partition speed-of-light for the measured chip
+(2N tuples processed end-to-end: partition + banded probe), as M-tuples/s.
+vs_baseline: fraction of the BASELINE.json target, which is 70% of the
+HBM-bound two-pass-partition speed-of-light for the measured chip
 (BASELINE.md: ">70% of HBM-bound partition speed-of-light per chip").
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
@@ -25,20 +25,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_hbm_gbps(n_bytes: int = 1 << 30) -> float:
+def sync(x):
+    # block_until_ready is a no-op on relayed backends; a 1-element
+    # device_get is the reliable fence.
+    _ = np.asarray(jax.device_get(jnp.ravel(x)[0:1]))
+
+
+def measure_hbm_gbps(n_bytes: int = 1 << 28) -> float:
     """Copy bandwidth (read+write) of one device."""
     n = n_bytes // 4
     x = jnp.zeros((n,), jnp.float32)
     f = jax.jit(lambda a: a + 1.0)
-    jax.block_until_ready(f(x))
+    sync(f(x))
+    reps = 4
     t0 = time.perf_counter()
-    reps = 5
     y = x
     for _ in range(reps):
         y = f(y)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / reps
-    return 2 * n_bytes / dt / 1e9
+    sync(y)
+    dt = time.perf_counter() - t0
+    return 2 * n_bytes * reps / dt / 1e9
 
 
 def bench_join(n: int, reps: int = 3):
@@ -46,22 +52,24 @@ def bench_join(n: int, reps: int = 3):
     from radixjoin_tpu.data import relation as gen
     from radixjoin_tpu.engine.join import join_count, total_matches
 
-    cfg = JoinConfig(use_pallas=jax.default_backend() == "tpu")
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = JoinConfig(use_pallas=on_tpu)
+    mode = "banded" if on_tpu else "partitioned"
     r = gen.fill_unique(n, jax.random.key(0))
     s = gen.fill_unique(n, jax.random.key(1))
-    jax.block_until_ready((r.keys, s.keys))
+    sync(r.keys)
+    sync(s.keys)
 
-    res = join_count(r, s, cfg)  # compile + warm
-    jax.block_until_ready(res.matches)
+    res = join_count(r, s, cfg, mode=mode)  # compile + warm
+    sync(res.matches)
     assert total_matches(res) == n, "oracle mismatch"
     assert bool(res.ok)
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = join_count(r, s, cfg)
-        jax.block_until_ready(res.matches)
-    dt = (time.perf_counter() - t0) / reps
-    return dt
+        res = join_count(r, s, cfg, mode=mode)
+        sync(res.matches)
+    return (time.perf_counter() - t0) / reps
 
 
 def main():
@@ -69,7 +77,7 @@ def main():
     log(f"backend={backend} devices={jax.devices()}")
 
     if backend == "tpu":
-        n = 1 << 26          # 67M tuples per side
+        n = 1 << 27          # 134M tuples per side
         hbm = measure_hbm_gbps()
     else:
         n = 1 << 20          # CPU smoke
@@ -79,14 +87,14 @@ def main():
     try:
         dt = bench_join(n)
     except Exception as e:  # OOM etc: scale down once
-        log(f"bench at n={n} failed ({e}); retrying n={n >> 2}")
-        n >>= 2
+        log(f"bench at n={n} failed ({type(e).__name__}); retrying n={n >> 1}")
+        n >>= 1
         dt = bench_join(n)
 
     mtps = 2 * n / dt / 1e6
     # HBM-bound speed of light for a two-pass partition + probe engine:
     # per tuple per relation: 2 passes * (8B read + 8B write) + 8B probe read
-    # = 40 bytes  ->  joined-tuples/s SoL = BW / 40 * 2 relations / 2.
+    # = 40 bytes  ->  joined-tuples/s SoL = 2N / (2N * 40B / BW) = BW / 40.
     sol_mtps = hbm * 1e9 / 40.0 / 1e6
     target = 0.70 * sol_mtps
     log(f"join: {dt*1e3:.1f} ms  {mtps:.1f} Mt/s  "

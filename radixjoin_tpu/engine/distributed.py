@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation, radix_bits
 from ..ops import skew as skew_ops
-from ..ops.buildprobe import probe_count_tiered
+from ..ops.buildprobe import (probe_count_tiered, probe_count_banded,
+                              join_materialize)
 from ..ops.partition import partition_relation
 from ..parallel.metadata import compute_metadata
 from ..parallel.shuffle import shuffle_by_destination, shuffle_chunked
@@ -43,6 +44,18 @@ class DistributedJoinResult(NamedTuple):
     global_hist_s: jnp.ndarray
 
 
+class DistributedJoinRows(NamedTuple):
+    """Materialised distributed join output, sharded by producing device:
+    each device emits up to max_out (r_rid, s_rid, key) rows for the
+    partitions it owns (reference `probe` kernels.cu:199-246, distributed)."""
+    r_rids: jnp.ndarray   # uint32[D * max_out]
+    s_rids: jnp.ndarray   # uint32[D * max_out]
+    keys: jnp.ndarray     # uint32[D * max_out]
+    valid: jnp.ndarray    # bool[D * max_out]
+    counts: jnp.ndarray   # int32[D] rows produced per device
+    ok: jnp.ndarray       # bool[D]
+
+
 def total_distributed_matches(res: DistributedJoinResult) -> int:
     """Host-side 64-bit aggregation at the 'result aggregation node'
     (reference Configuration.h:19, Measurements.cpp:546-606)."""
@@ -53,7 +66,9 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                           cfg: JoinConfig = DEFAULT_CONFIG,
                           local_bits: int | None = None,
                           shuffle_rounds: int = 1,
-                          skew_aware: bool = False):
+                          skew_aware: bool = False,
+                          local_probe: str = "tiered",
+                          materialize_max_out: int | None = None):
     """Build the jitted SPMD join for given static per-shard sizes.
 
     Returns fn(r: Relation, s: Relation) -> DistributedJoinResult where the
@@ -65,6 +80,9 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
     p_net = 1 << net_bits
     assert p_net >= n_dev, (
         f"network fanout {p_net} must cover {n_dev} devices")
+    assert not (materialize_max_out is not None and skew_aware), (
+        "materialising join emits rows; the heavy-hitter pre-pass only "
+        "counts — combine is not supported yet")
     cap_r = cfg.shuffle_capacity(n_r_shard, n_dev)
     cap_s = cfg.shuffle_capacity(n_s_shard, n_dev)
     if shuffle_rounds > 1:
@@ -156,11 +174,34 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         s_rel = Relation(shuf_s.keys, shuf_s.rids)
         r_part = partition_relation(r_rel, local_bits, net_bits, ~shuf_r.valid)
         s_part = partition_relation(s_rel, local_bits, net_bits, ~shuf_s.valid)
-        pcap_r = cfg.partition_capacity(cap_r * n_dev, p_local)
-        pcap_s = cfg.partition_capacity(cap_s * n_dev, p_local)
-        matches, tiers_ok = probe_count_tiered(
-            r_part, s_part, pcap_r, pcap_s,
-            tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
+        if materialize_max_out is not None:
+            # Materialising variant (reference `probe`, kernels.cu:199-246):
+            # per-shard (r_rid, s_rid, key) row triples over the received
+            # (valid-prefix) data.  Global rids survived the shuffle, so
+            # outputs reference original relation rows.
+            vr = jnp.sum(r_part.counts)
+            vs = jnp.sum(s_part.counts)
+            rk_m = jnp.where(jnp.arange(r_part.keys.shape[0]) < vr,
+                             r_part.keys, jnp.uint32(0xFFFFFFFF))
+            sk_m = jnp.where(jnp.arange(s_part.keys.shape[0]) < vs,
+                             s_part.keys, jnp.uint32(0xFFFFFFFE))
+            out_r, out_s, out_k, valid, total = join_materialize(
+                rk_m, r_part.rids, sk_m, s_part.rids, materialize_max_out)
+            row_ok = ok & (total <= materialize_max_out)
+            return (out_r[None], out_s[None], out_k[None], valid[None],
+                    total[None], row_ok[None])
+        if local_probe == "banded":
+            mean_s_rows = max(1, -(-(cap_s * n_dev) // (p_local * 128)))
+            window = 2 + 4 * mean_s_rows
+            band = -(-(8 * mean_s_rows + window + 8) // 8)
+            matches, tiers_ok = probe_count_banded(
+                r_part, s_part, window_rows=window, band_blocks=band)
+        else:
+            pcap_r = cfg.partition_capacity(cap_r * n_dev, p_local)
+            pcap_s = cfg.partition_capacity(cap_s * n_dev, p_local)
+            matches, tiers_ok = probe_count_tiered(
+                r_part, s_part, pcap_r, pcap_s,
+                tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
 
         return ((matches + heavy_total)[None].astype(jnp.int32),
                 (ok & tiers_ok)[None],
@@ -168,10 +209,15 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
 
     sharded = NamedSharding(mesh, P(axis))
 
+    if materialize_max_out is not None:
+        out_specs = (P(axis),) * 6
+    else:
+        out_specs = (P(axis), P(axis), P(), P())
+
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(), P()),
+        out_specs=out_specs,
         # check_vma must be off: pallas_call out_shapes carry no varying-
         # mesh-axis annotation, and the replicated global histograms are
         # psum results the checker can't always prove replicated.
@@ -179,12 +225,14 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
     )
 
     @jax.jit
-    def run(r: Relation, s: Relation) -> DistributedJoinResult:
+    def run(r: Relation, s: Relation):
         rk = jax.lax.with_sharding_constraint(r.keys, sharded)
         rr = jax.lax.with_sharding_constraint(r.rids, sharded)
         sk = jax.lax.with_sharding_constraint(s.keys, sharded)
         sr = jax.lax.with_sharding_constraint(s.rids, sharded)
-        m, ok, gr, gs = mapped(rk, rr, sk, sr)
-        return DistributedJoinResult(m, ok, gr, gs)
+        out = mapped(rk, rr, sk, sr)
+        if materialize_max_out is not None:
+            return DistributedJoinRows(*out)
+        return DistributedJoinResult(*out)
 
     return run

@@ -250,7 +250,7 @@ def _probe_count_arrays(r_keys, r_starts, r_counts, s_keys, s_starts,
 # entire build phase.
 # ---------------------------------------------------------------------------
 
-def _probe_banded_kernel(w, b8, wg_ref, wrel_ref, rk_ref, s_ref, out_ref,
+def _probe_banded_kernel(w, b8, wmeta_ref, rk_ref, s_ref, out_ref,
                          scratch, sem):
     g = pl.program_id(0)
     k = jax.lax.rem(g, _ROWS)
@@ -259,8 +259,15 @@ def _probe_banded_kernel(w, b8, wg_ref, wrel_ref, rk_ref, s_ref, out_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # Window metadata rides in a VMEM row per group (lane 0 = band start
+    # row, lanes 1..8 = per-R-row offsets within the band): SMEM scalar
+    # prefetch caps out at 1 MB, which a per-row array hits near 100M
+    # tuples; VMEM rows scale with the relation.
+    meta = wmeta_ref[pl.ds(k, 1), :]                   # (1, 128)
+    band_start = meta[0, 0]
+
     copy = pltpu.make_async_copy(
-        s_ref.at[pl.ds(wg_ref[g], b8), :], scratch, sem)
+        s_ref.at[pl.ds(band_start, b8), :], scratch, sem)
     copy.start()
     copy.wait()
 
@@ -270,7 +277,7 @@ def _probe_banded_kernel(w, b8, wg_ref, wrel_ref, rk_ref, s_ref, out_ref,
     # ~10x overhead).
     acc = jnp.zeros((w, 128), jnp.int32)
     for i in range(_ROWS):                             # static unroll
-        base = wrel_ref[g * _ROWS + i]
+        base = meta[0, 1 + i]
         swin = scratch[pl.ds(base, w), :]              # (W, 128)
         rrow = rk_ref[i:i + 1, :]                      # (1, 128)
 
@@ -369,27 +376,31 @@ def probe_count_banded(r_part: PartitionedRelation,
                                            jnp.uint32(_R_PAD_KEY))])
     r2d = rk.reshape(-1, 128)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    # Per-group VMEM metadata row: lane 0 = band start, lanes 1..8 = per-row
+    # offsets inside the band.
+    wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
+    wmeta = wmeta.at[:, 0].set(wg)
+    wmeta = wmeta.at[:, 1:1 + _ROWS].set(wrel.reshape(n_groups8, _ROWS))
+
+    per_group = pl.pallas_call(
+        functools.partial(_probe_banded_kernel, w, b8),
         grid=(n_groups8,),
         in_specs=[
-            pl.BlockSpec((_ROWS, 128), lambda g, wg_, wr_: (g, 0),
+            pl.BlockSpec((_ROWS, 128), lambda g: (g // _ROWS, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((_ROWS, 128), lambda g, wg_, wr_: (g // _ROWS, 0),
+        out_specs=pl.BlockSpec((_ROWS, 128), lambda g: (g // _ROWS, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((b8, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    per_group = pl.pallas_call(
-        functools.partial(_probe_banded_kernel, w, b8),
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
         interpret=interpret,
-    )(wg, wrel, r2d, s2d)
+    )(wmeta, r2d, s2d)
     return jnp.sum(per_group[:, 0]), ok
 
 

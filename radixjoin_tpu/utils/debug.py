@@ -34,6 +34,18 @@ def join_assert(condition: bool, area: str, msg: str) -> None:
         raise AssertionError(f"[{area}] {msg}")
 
 
+def dump_array(name: str, arr, limit: int = 32) -> None:
+    """Print a device buffer's head (reference displayGPUBuffer,
+    utils/gpu/debug.cuh:15-41).  Debug-gated like its macro cousins."""
+    if DEBUG:
+        import numpy as np
+        host = np.asarray(arr).ravel()
+        head = ", ".join(str(v) for v in host[:limit])
+        more = f" ... ({host.size} total)" if host.size > limit else ""
+        print(f"[DEBUG] [BUFFER] {name}: [{head}]{more}",
+              file=sys.stderr, flush=True)
+
+
 def memory_snapshot(tag: str = "") -> dict:
     """VmSize/VmRSS snapshot (reference Measurements.cpp:825-851)."""
     out = {}

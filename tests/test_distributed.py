@@ -147,6 +147,41 @@ def test_distributed_join_skew_aware(mesh8):
     assert total_distributed_matches(res) == want
 
 
+def test_distributed_join_banded_local_probe(mesh8):
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    r = gen.fill_unique(n, jax.random.key(20))
+    s = gen.fill_unique(n, jax.random.key(21))
+    run = make_distributed_join(mesh8, per, per, CFG, local_probe="banded")
+    res = run(r, s)
+    assert np.asarray(res.ok).all()
+    assert total_distributed_matches(res) == n
+
+
+def test_distributed_join_rows(mesh8):
+    n_dev = 8
+    per = 1024
+    n = per * n_dev
+    r = gen.fill_unique(n, jax.random.key(22))
+    s = gen.fill_unique(n, jax.random.key(23))
+    run = make_distributed_join(mesh8, per, per, CFG,
+                                materialize_max_out=4 * per)
+    rows = run(r, s)
+    assert np.asarray(rows.ok).all()
+    total = int(np.sum(np.asarray(rows.counts, dtype=np.int64)))
+    assert total == n
+    v = np.asarray(rows.valid)
+    assert v.sum() == n
+    rk = np.asarray(r.keys)
+    sk = np.asarray(s.keys)
+    rr = np.asarray(rows.r_rids)[v]
+    sr = np.asarray(rows.s_rids)[v]
+    np.testing.assert_array_equal(rk[rr], sk[sr])
+    # every R row appears exactly once (unique-keys workload)
+    assert len(set(rr.tolist())) == n
+
+
 def test_distribute_sections(mesh8):
     n_dev = 8
     per = 1024
