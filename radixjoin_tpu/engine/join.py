@@ -164,6 +164,13 @@ def join_count_checked(r: Relation, s: Relation,
     if not bool(res.ok):
         kw2 = {k: v for k, v in kw.items()
                if k in ("r_valid_count", "s_valid_count")}
+        if kw.get("mode") == "banded":
+            # first escalation: banded -> tiered (handles partition skew)
+            kw3 = dict(kw2, mode="partitioned",
+                       skew_aware=kw.get("skew_aware", False))
+            res = join_count(r, s, cfg, **kw3)
+            if bool(res.ok):
+                return total_matches(res)
         res = join_count(r, s, cfg, mode="sortmerge", **kw2)
     return total_matches(res)
 
@@ -174,3 +181,20 @@ def join_rows(r: Relation, s: Relation, max_out: int):
     kernels.cu:199-246).  Static output bound ``max_out``; see
     ops/buildprobe.join_materialize for overflow semantics."""
     return join_materialize(r.keys, r.rids, s.keys, s.rids, max_out)
+
+
+def join_rows_auto(r: Relation, s: Relation, start_max_out: int | None = None,
+                   growth: int = 4, max_attempts: int = 8):
+    """join_rows with the reference's overflow-retry protocol: when the
+    output bound overflows (cf. probe_match_rate's partition-done flags and
+    re-invocation, kernels.cu:376-403), rerun with a ``growth``x larger
+    bound.  Each bound is one compiled executable; repeated workloads reuse
+    the cache."""
+    max_out = start_max_out or max(1024, max(r.size, s.size))
+    for _ in range(max_attempts):
+        out_r, out_s, out_k, valid, total = join_rows(r, s, max_out)
+        if int(total) <= max_out:
+            return out_r, out_s, out_k, valid, int(total)
+        max_out = max(int(total), max_out * growth)
+    raise RuntimeError(f"join output exceeded bound after {max_attempts} "
+                       f"attempts (last bound {max_out})")

@@ -111,6 +111,39 @@ def test_join_rows_unique():
                                   sk[np.asarray(out_s)[v]])
 
 
+def test_banded_mode_engine():
+    n = 1 << 14
+    r = gen.fill_unique(n, jax.random.key(30))
+    s = gen.fill_unique(n, jax.random.key(31))
+    res = join_count(r, s, CFG, mode="banded")
+    assert bool(res.ok)
+    assert total_matches(res) == n
+
+
+def test_banded_mode_escalates_on_skew():
+    n = 1 << 12
+    r = make_relation(np.full(n, 9, np.uint32), np.arange(n, dtype=np.uint32))
+    s = make_relation(np.full(n, 9, np.uint32), np.arange(n, dtype=np.uint32))
+    got = join_count_checked(r, s, CFG, mode="banded")
+    assert got == n * n
+
+
+def test_join_rows_auto_overflow_retry():
+    from radixjoin_tpu.engine.join import join_rows_auto
+    n = 512
+    # match rate 8: output 8x inner size, start bound too small
+    r = gen.fill_unique(n, jax.random.key(32))
+    s = gen.fill_modulo(8 * n, jax.random.key(33), n)
+    out_r, out_s, out_k, valid, total = join_rows_auto(
+        r, s, start_max_out=1024)
+    assert total == 8 * n
+    v = np.asarray(valid)
+    assert v.sum() == 8 * n
+    rk, sk = np.asarray(r.keys), np.asarray(s.keys)
+    np.testing.assert_array_equal(rk[np.asarray(out_r)[v]],
+                                  sk[np.asarray(out_s)[v]])
+
+
 def test_valid_count_padding():
     n = 1 << 12
     r = gen.fill_unique(n, jax.random.key(13))
