@@ -78,7 +78,12 @@ def main():
 
     if backend == "tpu":
         n = 1 << 27          # 134M tuples per side
-        hbm = measure_hbm_gbps()
+        measured = measure_hbm_gbps()
+        # The relay's RPC overhead makes small copy measurements noisy
+        # (observed 73-299 GB/s for the same chip); pin the roofline to the
+        # v5e nominal HBM bandwidth so vs_baseline is stable and honest.
+        hbm = 819.0
+        log(f"measured copy bw {measured:.0f} GB/s (diagnostic only)")
     else:
         n = 1 << 20          # CPU smoke
         hbm = 50.0
