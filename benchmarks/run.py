@@ -35,22 +35,31 @@ def _sync(x):
 
 
 def run_join_config(n: int, reps: int, skew: bool, meas, cfg):
-    from radixjoin_tpu.data import relation as gen
+    from radixjoin_tpu import native
+    from radixjoin_tpu.data.tuples import Relation
     from radixjoin_tpu.engine.join import join_count, total_matches
 
+    mode = "banded" if jax.default_backend() == "tpu" else "partitioned"
     with meas.phase("GENERATE", tuples=2 * n):
-        r = gen.fill_unique(n, jax.random.key(0))
+        # Host-side native generation (the reference also generates on the
+        # host, main.cpp:94-98), then one H2D transfer.
+        rk, rr = native.fill_unique(n, 0, seed=1234)
         if skew:
-            s = gen.fill_zipf(n, jax.random.key(1), domain=n, theta=1.05)
+            sk, sr = native.fill_zipf(n, domain=n, theta=1.05, seed=1235)
         else:
-            s = gen.fill_unique(n, jax.random.key(1))
+            sk, sr = native.fill_unique(n, 0, seed=1235)
+        r = Relation(jnp.asarray(rk), jnp.asarray(rr))
+        s = Relation(jnp.asarray(sk), jnp.asarray(sr))
         _sync(r.keys); _sync(s.keys)
 
     with meas.phase("COMPILE"):
-        res = join_count(r, s, cfg, skew_aware=skew)
+        res = join_count(r, s, cfg, skew_aware=skew, mode=mode)
         _sync(res.matches)
 
     got = total_matches(res)
+    if not bool(res.ok):
+        from radixjoin_tpu.engine.join import join_count_checked
+        got = join_count_checked(r, s, cfg, skew_aware=skew, mode=mode)
     if not skew:
         assert got == n, f"oracle mismatch: {got} != {n}"
 
@@ -58,7 +67,7 @@ def run_join_config(n: int, reps: int, skew: bool, meas, cfg):
     with meas.phase("JOIN", tuples=2 * n * reps,
                     hbm_bytes=reps * per_pass_bytes * 5):
         for _ in range(reps):
-            res = join_count(r, s, cfg, skew_aware=skew)
+            res = join_count(r, s, cfg, skew_aware=skew, mode=mode)
             _sync(res.matches)
     return got
 

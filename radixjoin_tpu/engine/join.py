@@ -29,7 +29,8 @@ from ..data.tuples import Relation
 from ..ops import skew as skew_ops
 from ..ops.buildprobe import (probe_count_sorted, probe_count_tiered,
                               probe_count_banded, join_materialize)
-from ..ops.partition import partition_relation
+from ..ops.partition import (partition_relation, partition_keys_rotated,
+                             rotate_for_partition)
 from ..ops.sort import sort_relation
 
 
@@ -132,25 +133,33 @@ def join_count(r: Relation, s: Relation,
         drop_s = hmask_s if drop_s is None else (drop_s | hmask_s)
         _, _, heavy = skew_ops.heavy_match_count(rk_eff, sk_eff, hh)
 
-    r_part = partition_relation(r, bits, shift, drop_r)
-    s_part = partition_relation(s, bits, shift, drop_s)
-
     if mode == "banded":
+        # Count-only fast path: keys-only rotated partitioning (half the
+        # sort traffic — rids never matter for counting, and rotation makes
+        # the radix bits the sort prefix; see partition_keys_rotated).
+        r_part = partition_keys_rotated(r.keys, bits, shift, drop_r)
+        s_part = partition_keys_rotated(s.keys, bits, shift, drop_s)
         # Window sized to the expected S-rows an R row's pid span covers
         # (2 alignment rows + 4x the mean per-partition S rows of slack);
         # violations flip `ok` and callers escalate.
         mean_s_rows = max(1, -(-s.size // (n_parts * 128)))
         window = 2 + 4 * mean_s_rows
         band = -(-(8 * mean_s_rows + window + 8) // 8)
-        matches, ok = probe_count_banded(r_part, s_part,
-                                         window_rows=window,
-                                         band_blocks=band)
-    else:
-        cap_r = cfg.partition_capacity(r.size, n_parts)
-        cap_s = cfg.partition_capacity(s.size, n_parts)
-        matches, ok = probe_count_tiered(
-            r_part, s_part, cap_r, cap_s,
-            tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
+        matches, ok = probe_count_banded(
+            r_part, s_part, window_rows=window, band_blocks=band,
+            # Sentinels must be rotations of out-of-domain keys so no
+            # rotated real key can collide with padding.
+            r_pad_key=rotate_for_partition(0xFFFFFFFF, bits, shift),
+            s_pad_key=rotate_for_partition(0xFFFFFFFE, bits, shift))
+        return JoinResult(matches, heavy, ok)
+
+    r_part = partition_relation(r, bits, shift, drop_r)
+    s_part = partition_relation(s, bits, shift, drop_s)
+    cap_r = cfg.partition_capacity(r.size, n_parts)
+    cap_s = cfg.partition_capacity(s.size, n_parts)
+    matches, ok = probe_count_tiered(
+        r_part, s_part, cap_r, cap_s,
+        tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
     return JoinResult(matches, heavy, ok)
 
 

@@ -294,11 +294,14 @@ def _probe_banded_kernel(w, b8, wmeta_ref, rk_ref, s_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("window_rows", "band_blocks",
+                                             "r_pad_key", "s_pad_key",
                                              "interpret"))
 def probe_count_banded(r_part: PartitionedRelation,
                        s_part: PartitionedRelation,
                        window_rows: int = 6,
                        band_blocks: int = 3,
+                       r_pad_key: int = _R_PAD_KEY,
+                       s_pad_key: int = _S_PAD_KEY,
                        interpret: bool | None = None):
     """Band probe over pid-sorted relations.  Returns (total_i32, ok).
 
@@ -328,11 +331,11 @@ def probe_count_banded(r_part: PartitionedRelation,
     # --- pad R to whole 8x128 groups with sentinels ---
     n_r_pad = ((n_r + 1023) // 1024) * 1024
     rk = jnp.where(jnp.arange(n_r) < valid_r, r_part.keys,
-                   jnp.uint32(_R_PAD_KEY))
+                   jnp.uint32(r_pad_key))
     rpid = r_part.pids
     if n_r_pad != n_r:
         rk = jnp.concatenate([rk, jnp.full((n_r_pad - n_r,),
-                                           jnp.uint32(_R_PAD_KEY))])
+                                           jnp.uint32(r_pad_key))])
         rpid = jnp.concatenate([rpid, jnp.full((n_r_pad - n_r,),
                                                jnp.int32(0))])
     n_rows = n_r_pad // 128
@@ -341,9 +344,9 @@ def probe_count_banded(r_part: PartitionedRelation,
     # --- pad S with a sentinel tail so band DMAs never run off the end ---
     n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
     sk = jnp.where(jnp.arange(n_s) < valid_s, s_part.keys,
-                   jnp.uint32(_S_PAD_KEY))
+                   jnp.uint32(s_pad_key))
     sk = jnp.concatenate([sk, jnp.full((n_s_pad - n_s,),
-                                       jnp.uint32(_S_PAD_KEY))])
+                                       jnp.uint32(s_pad_key))])
     s2d = sk.reshape(-1, 128)
     s_max_row = s2d.shape[0] - b8
 
@@ -373,7 +376,7 @@ def probe_count_banded(r_part: PartitionedRelation,
         wg = jnp.concatenate([wg, jnp.zeros((pad,), jnp.int32)])
         wrel = jnp.concatenate([wrel, jnp.zeros((pad * _ROWS,), jnp.int32)])
         rk = jnp.concatenate([rk, jnp.full((pad * 1024,),
-                                           jnp.uint32(_R_PAD_KEY))])
+                                           jnp.uint32(r_pad_key))])
     r2d = rk.reshape(-1, 128)
 
     # Per-group VMEM metadata row: lane 0 = band start, lanes 1..8 = per-row

@@ -51,15 +51,21 @@ class PartitionedRelation(NamedTuple):
         return self.starts.shape[0]
 
 
-def _sort_by(sort_key: jnp.ndarray, rel: Relation):
-    """Stable variadic sort of (key, rid) by ``sort_key``."""
+def _sort_by(sort_key: jnp.ndarray, rel: Relation, stable: bool = False):
+    """Variadic sort of (key, rid) by ``sort_key``.
+
+    Unstable by default: partitioning only needs *grouping*; within-
+    partition order is arbitrary for every consumer (probe kernels,
+    shuffle, histograms), and is_stable costs ~20% extra on the TPU sort
+    network.  LSD radix sorting (ops/sort.radix_sort_staged) opts back in.
+    """
     return jax.lax.sort((sort_key, rel.keys, rel.rids), num_keys=1,
-                        is_stable=True)
+                        is_stable=stable)
 
 
 def partition_relation(rel: Relation, n_bits: int, shift: int = 0,
                        drop_mask: jnp.ndarray | None = None,
-                       ) -> PartitionedRelation:
+                       stable: bool = False) -> PartitionedRelation:
     """Single partitioning pass on key bits [shift, shift + n_bits).
 
     Rows where ``drop_mask`` is True are assigned the out-of-range id
@@ -71,9 +77,49 @@ def partition_relation(rel: Relation, n_bits: int, shift: int = 0,
     pid = radix_bits(rel.keys, n_bits, shift)
     if drop_mask is not None:
         pid = jnp.where(drop_mask, jnp.int32(1 << n_bits), pid)
-    spid, skeys, srids = _sort_by(pid, rel)
+    spid, skeys, srids = _sort_by(pid, rel, stable)
     counts, starts = histogram_sorted(spid, 1 << n_bits)
     return PartitionedRelation(skeys, srids, spid, starts, counts)
+
+
+def rotate_for_partition(value: int, n_bits: int, shift: int = 0) -> int:
+    """Static counterpart of the in-graph rotation (for sentinel mapping)."""
+    r = (32 - shift - n_bits) % 32
+    return ((value << r) | (value >> (32 - r))) & 0xFFFFFFFF if r else value
+
+
+def partition_keys_rotated(keys: jnp.ndarray, n_bits: int, shift: int = 0,
+                           drop_mask: jnp.ndarray | None = None
+                           ) -> PartitionedRelation:
+    """Keys-only partitioning via bit rotation — HALF the sort traffic.
+
+    For count-only probes the row ids never matter, and the partition id is
+    a *function of the key*, so instead of sorting (pid, key, rid) triples
+    we rotate each key left so its radix bits become the most-significant
+    bits and sort the single rotated array.  Rotation is a bijection, so
+    equality of rotated keys == equality of keys — the probe can compare
+    rotated keys directly and never needs to un-rotate.
+
+    The returned PartitionedRelation carries rotated keys in ``keys`` (valid
+    for equality tests only), a zero rids placeholder, and correct
+    pids/starts/counts.  With a drop mask the sort gains a second operand
+    (the out-of-range pid tag), still one less than the general path.
+    """
+    r = (32 - shift - n_bits) % 32
+    if r:
+        rotk = (keys << jnp.uint32(r)) | (keys >> jnp.uint32(32 - r))
+    else:
+        rotk = keys
+    if drop_mask is None:
+        srot = jax.lax.sort(rotk)
+        spid = (srot >> jnp.uint32(32 - n_bits)).astype(jnp.int32)
+    else:
+        pid = radix_bits(keys, n_bits, shift)
+        pid = jnp.where(drop_mask, jnp.int32(1 << n_bits), pid)
+        spid, srot = jax.lax.sort((pid, rotk), num_keys=1, is_stable=False)
+    counts, starts = histogram_sorted(spid, 1 << n_bits)
+    return PartitionedRelation(srot, jnp.zeros_like(srot), spid,
+                               starts, counts)
 
 
 def partition_two_level(rel: Relation, l1_bits: int, l2_bits: int,

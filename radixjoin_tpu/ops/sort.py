@@ -40,7 +40,8 @@ def radix_sort_staged(rel: Relation, key_bits: int = 32,
     shift = 0
     while shift < key_bits:
         bits = min(digit_bits, key_bits - shift)
-        part = partition_relation(out, bits, shift)
+        # LSD radix sorting is the one consumer that NEEDS stable passes.
+        part = partition_relation(out, bits, shift, stable=True)
         out = Relation(part.keys, part.rids)
         shift += bits
     return out

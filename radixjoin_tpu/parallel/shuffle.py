@@ -59,7 +59,8 @@ def shuffle_by_destination(keys: jnp.ndarray, rids: jnp.ndarray,
         dest = jnp.where(drop_mask, n_dev, dest)
     # Group by destination (the reference's WC-buffer scatter,
     # NetworkPartitioning.cpp:116-173, as a sort).
-    sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1, is_stable=True)
+    sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1,
+                              is_stable=False)
     counts, starts = histogram_sorted(sd, n_dev)
     overflow = jnp.any(counts > jnp.int32(capacity))
 
@@ -87,7 +88,8 @@ def shuffle_chunked(keys: jnp.ndarray, rids: jnp.ndarray, dest: jnp.ndarray,
     n_dev = jax.lax.axis_size(axis)
     if drop_mask is not None:
         dest = jnp.where(drop_mask, n_dev, dest)
-    sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1, is_stable=True)
+    sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1,
+                              is_stable=False)
     counts, starts = histogram_sorted(sd, n_dev)
     overflow = jnp.any(counts > jnp.int32(capacity))
 
