@@ -38,7 +38,9 @@ from .aggregate import aggregate_count
 # Filler for unused heavy-key slots; rows are removed from the partitioned
 # path via heavy_mask + partition drop_mask, never by key rewriting, so this
 # value only needs to be an unlikely key, not a reserved one.
-_R_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# (Plain int, NOT jnp: a module-level jnp constant would initialise the
+# default jax backend at import time, before callers can choose a platform.)
+_R_SENTINEL = 0xFFFFFFFF
 
 
 def detect_skewed_partitions(counts: jnp.ndarray, capacity: int) -> jnp.ndarray:
@@ -85,7 +87,7 @@ def detect_heavy_keys(keys: jnp.ndarray, prng_key, max_heavy: int,
     top_counts, top_idx = top
     min_count = jnp.int32(max(1, int(min_est_frequency * sample_size)))
     valid = top_counts >= min_count
-    hkeys = jnp.where(valid, gkeys[top_idx], _R_SENTINEL)
+    hkeys = jnp.where(valid, gkeys[top_idx], jnp.uint32(_R_SENTINEL))
     return HeavyHitters(hkeys, valid)
 
 
