@@ -250,26 +250,39 @@ def _probe_count_arrays(r_keys, r_starts, r_counts, s_keys, s_starts,
 # entire build phase.
 # ---------------------------------------------------------------------------
 
-def _probe_banded_kernel(w, b8, wmeta_ref, rk_ref, s_ref, out_ref,
-                         scratch, sem):
+def _probe_banded_kernel(w, b8, wg_ref, wmeta_ref, rk_ref, s_ref, out_ref,
+                         scratch, sems):
     g = pl.program_id(0)
+    n_g = pl.num_programs(0)
     k = jax.lax.rem(g, _ROWS)
+    slot = jax.lax.rem(g, 2)
 
     @pl.when(k == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    # Window metadata rides in a VMEM row per group (lane 0 = band start
-    # row, lanes 1..8 = per-R-row offsets within the band): SMEM scalar
-    # prefetch caps out at 1 MB, which a per-row array hits near 100M
-    # tuples; VMEM rows scale with the relation.
-    meta = wmeta_ref[pl.ds(k, 1), :]                   # (1, 128)
-    band_start = meta[0, 0]
+    def band_dma(gi, sl):
+        return pltpu.make_async_copy(
+            s_ref.at[pl.ds(wg_ref[gi], b8), :], scratch.at[sl], sems.at[sl])
 
-    copy = pltpu.make_async_copy(
-        s_ref.at[pl.ds(band_start, b8), :], scratch, sem)
-    copy.start()
-    copy.wait()
+    # Double-buffered band fetch: group g's DMA was started at step g-1
+    # (g=0 warms up); start g+1's before waiting so the ICI/HBM transfer
+    # overlaps this step's compute.
+    @pl.when(g == 0)
+    def _():
+        band_dma(0, 0).start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        band_dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+    band_dma(g, slot).wait()
+
+    # Per-R-row window offsets ride in a VMEM row per group (lane i+1 =
+    # row i's offset): SMEM scalar prefetch caps out at 1 MB, which a
+    # per-row array hits near 10^8 tuples; VMEM rows scale.  Only the
+    # per-group band start (needed a step early for the prefetch) is SMEM.
+    meta = wmeta_ref[pl.ds(k, 1), :]                   # (1, 128)
 
     # Row-major: hoist each row's dynamic window slice out of the shift
     # loop, then run the 128 lane shifts fully unrolled so every roll has a
@@ -278,7 +291,7 @@ def _probe_banded_kernel(w, b8, wmeta_ref, rk_ref, s_ref, out_ref,
     acc = jnp.zeros((w, 128), jnp.int32)
     for i in range(_ROWS):                             # static unroll
         base = meta[0, 1 + i]
-        swin = scratch[pl.ds(base, w), :]              # (W, 128)
+        swin = scratch[slot, pl.ds(base, w), :]        # (W, 128)
         rrow = rk_ref[i:i + 1, :]                      # (1, 128)
 
         def shift_body(sh, acc, swin=swin, rrow=rrow):
@@ -379,31 +392,35 @@ def probe_count_banded(r_part: PartitionedRelation,
                                            jnp.uint32(r_pad_key))])
     r2d = rk.reshape(-1, 128)
 
-    # Per-group VMEM metadata row: lane 0 = band start, lanes 1..8 = per-row
-    # offsets inside the band.
+    # Per-group VMEM metadata row (lanes 1..8 = per-row offsets inside the
+    # band); band starts ride separately in SMEM so step g can prefetch
+    # step g+1's band.
     wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
-    wmeta = wmeta.at[:, 0].set(wg)
     wmeta = wmeta.at[:, 1:1 + _ROWS].set(wrel.reshape(n_groups8, _ROWS))
 
-    per_group = pl.pallas_call(
-        functools.partial(_probe_banded_kernel, w, b8),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_groups8,),
         in_specs=[
-            pl.BlockSpec((_ROWS, 128), lambda g: (g // _ROWS, 0),
+            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, 128), lambda g: (g, 0),
+            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((_ROWS, 128), lambda g: (g // _ROWS, 0),
+        out_specs=pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((b8, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, b8, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    per_group = pl.pallas_call(
+        functools.partial(_probe_banded_kernel, w, b8),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
         interpret=interpret,
-    )(wmeta, r2d, s2d)
+    )(wg, wmeta, r2d, s2d)
     return jnp.sum(per_group[:, 0]), ok
 
 
