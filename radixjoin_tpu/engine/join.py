@@ -102,12 +102,19 @@ def join_count(r: Relation, s: Relation,
         return JoinResult(matches, zero_heavy, jnp.bool_(True))
 
     if bits is None:
-        # The banded probe wants fine partitions (its compare volume is the
-        # S-window, ~ the per-row pid span), the padded/tiered probe coarser
-        # ones (its cost is the padded capacity).
-        target = 128 if mode == "banded" else 1024
-        bits = auto_fanout_bits(max(r.size, s.size), target_mean=target,
-                                max_bits=22)
+        if cfg.two_level_partitioning and mode == "partitioned":
+            # Reference geometry parity (ENABLE_TWO_LEVEL_PARTITIONING,
+            # core/Configuration.h:28-34): network + local fanout levels.
+            # Adjacent radix levels collapse into one sort (see
+            # partition_two_level), so only the total bit count matters.
+            bits = cfg.network_fanout_bits + cfg.local_fanout_bits
+        else:
+            # The banded probe wants fine partitions (its compare volume is
+            # the S-window, ~ the per-row pid span), the padded/tiered probe
+            # coarser ones (its cost is the padded capacity).
+            target = 128 if mode == "banded" else 1024
+            bits = auto_fanout_bits(max(r.size, s.size), target_mean=target,
+                                    max_bits=22)
     n_parts = 1 << bits
 
     heavy = zero_heavy

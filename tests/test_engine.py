@@ -144,6 +144,17 @@ def test_join_rows_auto_overflow_retry():
                                   sk[np.asarray(out_s)[v]])
 
 
+def test_two_level_partitioning_config():
+    n = 1 << 13
+    r = gen.fill_unique(n, jax.random.key(40))
+    s = gen.fill_unique(n, jax.random.key(41))
+    cfg2 = CFG.replace(two_level_partitioning=True,
+                       network_fanout_bits=3, local_fanout_bits=4)
+    res = join_count(r, s, cfg2)
+    assert bool(res.ok)
+    assert total_matches(res) == n
+
+
 def test_valid_count_padding():
     n = 1 << 12
     r = gen.fill_unique(n, jax.random.key(13))
