@@ -260,6 +260,31 @@ def test_radix_sort_staged():
     np.testing.assert_array_equal(np.asarray(out.keys), np.sort(keys))
 
 
+@pytest.mark.parametrize("chunk", [1024, 2048])
+def test_bitonic_sort_chunks(chunk):
+    rng = np.random.default_rng(30)
+    n = 4 * chunk
+    v = rng.integers(0, 2**32, n, dtype=np.uint32)
+    p = np.arange(n, dtype=np.uint32)
+    sv, sp = sort_ops.bitonic_sort_chunks(jnp.asarray(v), jnp.asarray(p),
+                                          chunk=chunk)
+    sv, sp = np.asarray(sv), np.asarray(sp)
+    for c in range(n // chunk):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        np.testing.assert_array_equal(sv[sl], np.sort(v[sl]))
+        np.testing.assert_array_equal(v[sp[sl]], sv[sl])
+
+
+def test_bitonic_sort_duplicates():
+    rng = np.random.default_rng(31)
+    v = rng.integers(0, 16, 2048, dtype=np.uint32)   # heavy duplicates
+    p = np.arange(2048, dtype=np.uint32)
+    sv, sp = sort_ops.bitonic_sort_chunks(jnp.asarray(v), jnp.asarray(p),
+                                          chunk=2048)
+    np.testing.assert_array_equal(np.asarray(sv), np.sort(v))
+    np.testing.assert_array_equal(v[np.asarray(sp)], np.asarray(sv))
+
+
 def test_filter_relation():
     rel, keys = _rand_rel(3000, 1000, 14)
     filt, count = filter_ops.filter_relation(
