@@ -36,20 +36,20 @@ def main():
     sp = fp(s.keys)
     sync(rp.keys)
 
-    for w, b in [(4, 2), (6, 2), (6, 3), (8, 3), (10, 4)]:
-        f = jax.jit(lambda a, c, w=w, b=b: probe_count_banded(
-            a, c, window_rows=w, band_blocks=b))
+    for w, b, g in [(6, 3, 8), (6, 5, 16), (6, 9, 32)]:
+        f = jax.jit(lambda a, c, w=w, b=b, g=g: probe_count_banded(
+            a, c, window_rows=w, band_blocks=b, rows_per_group=g))
         total, ok = f(rp, sp)
         sync(total)
         if not bool(ok):
-            print(f"W={w} B={b}: ok=False (window too tight)", flush=True)
+            print(f"W={w} B={b} G={g}: ok=False (window too tight)", flush=True)
             continue
-        assert int(total) == n, (w, b, int(total))
+        assert int(total) == n, (w, b, g, int(total))
         t0 = time.time()
         for _ in range(3):
             total, ok = f(rp, sp)
             sync(total)
-        print(f"W={w} B={b}: {(time.time()-t0)/3*1e3:.1f} ms", flush=True)
+        print(f"W={w} B={b} G={g}: {(time.time()-t0)/3*1e3:.1f} ms", flush=True)
 
     cfg = JoinConfig()
     res = join_count(r, s, cfg, mode="banded")

@@ -193,9 +193,11 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         if local_probe == "banded":
             mean_s_rows = max(1, -(-(cap_s * n_dev) // (p_local * 128)))
             window = 2 + 4 * mean_s_rows
-            band = -(-(8 * mean_s_rows + window + 8) // 8)
+            gr = 32
+            band = -(-(2 * gr * mean_s_rows + window + 8) // 8)
             matches, tiers_ok = probe_count_banded(
-                r_part, s_part, window_rows=window, band_blocks=band)
+                r_part, s_part, window_rows=window, band_blocks=band,
+                rows_per_group=gr)
         else:
             pcap_r = cfg.partition_capacity(cap_r * n_dev, p_local)
             pcap_s = cfg.partition_capacity(cap_s * n_dev, p_local)

@@ -151,9 +151,11 @@ def join_count(r: Relation, s: Relation,
         # violations flip `ok` and callers escalate.
         mean_s_rows = max(1, -(-s.size // (n_parts * 128)))
         window = 2 + 4 * mean_s_rows
-        band = -(-(8 * mean_s_rows + window + 8) // 8)
+        gr = 32
+        band = -(-(2 * gr * mean_s_rows + window + 8) // 8)
         matches, ok = probe_count_banded(
             r_part, s_part, window_rows=window, band_blocks=band,
+            rows_per_group=gr,
             # Sentinels must be rotations of out-of-domain keys so no
             # rotated real key can collide with padding.
             r_pad_key=rotate_for_partition(0xFFFFFFFF, bits, shift),

@@ -250,8 +250,8 @@ def _probe_count_arrays(r_keys, r_starts, r_counts, s_keys, s_starts,
 # entire build phase.
 # ---------------------------------------------------------------------------
 
-def _probe_banded_kernel(w, b8, wg_ref, wmeta_ref, rk_ref, s_ref, out_ref,
-                         scratch, sems):
+def _probe_banded_kernel(w, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref,
+                         out_ref, scratch, sems):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
     k = jax.lax.rem(g, _ROWS)
@@ -287,9 +287,11 @@ def _probe_banded_kernel(w, b8, wg_ref, wmeta_ref, rk_ref, s_ref, out_ref,
     # Row-major: hoist each row's dynamic window slice out of the shift
     # loop, then run the 128 lane shifts fully unrolled so every roll has a
     # static immediate shift (dynamic rolls + per-shift dynamic slices were
-    # ~10x overhead).
+    # ~10x overhead).  ``gr`` rows per grid step amortise the fixed
+    # per-step cost (DMA issue/wait, metadata reads, out accumulate), which
+    # measurement showed dominating at 8 rows/step.
     acc = jnp.zeros((w, 128), jnp.int32)
-    for i in range(_ROWS):                             # static unroll
+    for i in range(gr):                                # static unroll
         base = meta[0, 1 + i]
         swin = scratch[slot, pl.ds(base, w), :]        # (W, 128)
         rrow = rk_ref[i:i + 1, :]                      # (1, 128)
@@ -307,12 +309,14 @@ def _probe_banded_kernel(w, b8, wg_ref, wmeta_ref, rk_ref, s_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("window_rows", "band_blocks",
+                                             "rows_per_group",
                                              "r_pad_key", "s_pad_key",
                                              "interpret"))
 def probe_count_banded(r_part: PartitionedRelation,
                        s_part: PartitionedRelation,
                        window_rows: int = 6,
-                       band_blocks: int = 3,
+                       band_blocks: int = 5,
+                       rows_per_group: int = 32,
                        r_pad_key: int = _R_PAD_KEY,
                        s_pad_key: int = _S_PAD_KEY,
                        interpret: bool | None = None):
@@ -323,11 +327,16 @@ def probe_count_banded(r_part: PartitionedRelation,
     to the tiered/padded path (skewed partitions) exactly like the
     reference's skew detection escalates probe strategies
     (kernels_optimized.cu:301-311).
+
+    ``rows_per_group``: 128-element R rows handled per grid step (8/16/32;
+    larger amortises fixed per-step cost but needs a wider band).
     """
     if interpret is None:
         interpret = pallas_interpret()
     w = window_rows
     b8 = band_blocks * _ROWS
+    gr = rows_per_group
+    assert gr % _ROWS == 0 and gr <= 120
 
     n_r = r_part.keys.shape[0]
     n_s = s_part.keys.shape[0]
@@ -341,8 +350,9 @@ def probe_count_banded(r_part: PartitionedRelation,
     valid_r = jnp.sum(r_part.counts)
     valid_s = jnp.sum(s_part.counts)
 
-    # --- pad R to whole 8x128 groups with sentinels ---
-    n_r_pad = ((n_r + 1023) // 1024) * 1024
+    # --- pad R to whole groups with sentinels ---
+    gelems = gr * 128
+    n_r_pad = ((n_r + gelems - 1) // gelems) * gelems
     rk = jnp.where(jnp.arange(n_r) < valid_r, r_part.keys,
                    jnp.uint32(r_pad_key))
     rpid = r_part.pids
@@ -352,7 +362,7 @@ def probe_count_banded(r_part: PartitionedRelation,
         rpid = jnp.concatenate([rpid, jnp.full((n_r_pad - n_r,),
                                                jnp.int32(0))])
     n_rows = n_r_pad // 128
-    n_groups = n_rows // _ROWS
+    n_groups = n_rows // gr
 
     # --- pad S with a sentinel tail so band DMAs never run off the end ---
     n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
@@ -376,27 +386,27 @@ def probe_count_banded(r_part: PartitionedRelation,
 
     # group band start = its first row's window start (monotone in the
     # sorted order); relative offsets stay within the band.
-    wg = w_row.reshape(n_groups, _ROWS)[:, 0]                # int32[n_groups]
-    wrel = (w_row.reshape(n_groups, _ROWS) - wg[:, None])
+    wg = w_row.reshape(n_groups, gr)[:, 0]                   # int32[n_groups]
+    wrel = (w_row.reshape(n_groups, gr) - wg[:, None])
     ok = (jnp.all(end_row - w_row <= w)
           & jnp.all(wrel + w <= b8)
-          & jnp.all(end_row.reshape(n_groups, _ROWS) - wg[:, None] <= b8))
+          & jnp.all(end_row.reshape(n_groups, gr) - wg[:, None] <= b8))
     wrel = jnp.clip(wrel, 0, b8 - w).reshape(-1)
 
     n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
     if n_groups8 != n_groups:
         pad = n_groups8 - n_groups
         wg = jnp.concatenate([wg, jnp.zeros((pad,), jnp.int32)])
-        wrel = jnp.concatenate([wrel, jnp.zeros((pad * _ROWS,), jnp.int32)])
-        rk = jnp.concatenate([rk, jnp.full((pad * 1024,),
+        wrel = jnp.concatenate([wrel, jnp.zeros((pad * gr,), jnp.int32)])
+        rk = jnp.concatenate([rk, jnp.full((pad * gelems,),
                                            jnp.uint32(r_pad_key))])
     r2d = rk.reshape(-1, 128)
 
-    # Per-group VMEM metadata row (lanes 1..8 = per-row offsets inside the
+    # Per-group VMEM metadata row (lanes 1..gr = per-row offsets inside the
     # band); band starts ride separately in SMEM so step g can prefetch
     # step g+1's band.
     wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
-    wmeta = wmeta.at[:, 1:1 + _ROWS].set(wrel.reshape(n_groups8, _ROWS))
+    wmeta = wmeta.at[:, 1:1 + gr].set(wrel.reshape(n_groups8, gr))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -404,7 +414,7 @@ def probe_count_banded(r_part: PartitionedRelation,
         in_specs=[
             pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g, 0),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -416,7 +426,7 @@ def probe_count_banded(r_part: PartitionedRelation,
         ],
     )
     per_group = pl.pallas_call(
-        functools.partial(_probe_banded_kernel, w, b8),
+        functools.partial(_probe_banded_kernel, w, b8, gr),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
         interpret=interpret,

@@ -209,7 +209,8 @@ def test_probe_count_banded():
     bits = 5   # mean partition = 128/256
     rp = part.partition_relation(make_relation(r, np.arange(4096)), bits)
     sp = part.partition_relation(make_relation(s, np.arange(8192)), bits)
-    total, ok = bp.probe_count_banded(rp, sp, window_rows=10, band_blocks=5)
+    total, ok = bp.probe_count_banded(rp, sp, window_rows=10, band_blocks=14,
+                                      rows_per_group=32)
     assert bool(ok)
     assert int(total) == _np_join_count(r, s)
 
@@ -225,7 +226,8 @@ def test_probe_count_banded_with_drop_mask():
                                  drop_mask=drop_r)
     sp = part.partition_relation(make_relation(s, np.arange(4096)), bits,
                                  drop_mask=drop_s)
-    total, ok = bp.probe_count_banded(rp, sp, window_rows=6, band_blocks=4)
+    total, ok = bp.probe_count_banded(rp, sp, window_rows=6, band_blocks=4,
+                                      rows_per_group=8)
     assert bool(ok)
     want = _np_join_count(r[r % 5 != 0], s[s % 7 != 0])
     assert int(total) == want
@@ -239,7 +241,8 @@ def test_probe_count_banded_overflow_flag():
     s = np.zeros(4096, dtype=np.uint32)
     rp = part.partition_relation(make_relation(r, np.arange(4096)), 5)
     sp = part.partition_relation(make_relation(s, np.arange(4096)), 5)
-    _, ok = bp.probe_count_banded(rp, sp, window_rows=4, band_blocks=2)
+    _, ok = bp.probe_count_banded(rp, sp, window_rows=4, band_blocks=2,
+                                     rows_per_group=8)
     assert not bool(ok)
 
 
