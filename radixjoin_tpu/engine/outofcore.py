@@ -57,12 +57,17 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
                          cfg: JoinConfig = DEFAULT_CONFIG,
                          coarse_bits: int = 3,
                          chunk: int | None = None,
-                         skew_aware: bool = False) -> int:
+                         skew_aware: bool = False,
+                         mode: str | None = None) -> int:
     """Join relations held in host memory, streaming through the device.
 
     ``coarse_bits`` top-level partitions (choose so that the largest
     R_p + S_p pair fits HBM); ``chunk`` tuples per device pass 1 step.
     """
+    if mode is None:
+        # banded on real hardware; the interpreter-mode banded kernel is too
+        # slow for the CPU test path.
+        mode = "banded" if jax.default_backend() == "tpu" else "partitioned"
     chunk = chunk or cfg.chunk_tuples
     n_r, n_s = r_keys.shape[0], s_keys.shape[0]
     chunk = min(chunk, max(n_r, n_s))
@@ -121,6 +126,6 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
         total += join_count_checked(
             Relation(jnp.asarray(kr), jnp.asarray(rr)),
             Relation(jnp.asarray(ks), jnp.asarray(sr)),
-            cfg, shift=coarse_bits, skew_aware=skew_aware,
+            cfg, shift=coarse_bits, skew_aware=skew_aware, mode=mode,
             r_valid_count=jnp.int32(nr), s_valid_count=jnp.int32(ns))
     return total
