@@ -42,6 +42,8 @@ class DistributedJoinResult(NamedTuple):
     ok: jnp.ndarray               # bool[D] no shuffle/tier overflow
     global_hist_r: jnp.ndarray    # int32[P_net] phase-1 observability
     global_hist_s: jnp.ndarray
+    heavy_cr: jnp.ndarray         # int32[D, K] owner-masked heavy R freqs
+    heavy_cs: jnp.ndarray         # int32[D, K] heavy S freqs
 
 
 class DistributedJoinRows(NamedTuple):
@@ -58,8 +60,13 @@ class DistributedJoinRows(NamedTuple):
 
 def total_distributed_matches(res: DistributedJoinResult) -> int:
     """Host-side 64-bit aggregation at the 'result aggregation node'
-    (reference Configuration.h:19, Measurements.cpp:546-606)."""
-    return int(np.sum(np.asarray(res.partial_matches, dtype=np.int64)))
+    (reference Configuration.h:19, Measurements.cpp:546-606).  Heavy-key
+    products multiply here in 64-bit (cr*cs overflows int32 under
+    double-sided skew); cr rows are owner-masked so each key counts once."""
+    heavy = np.sum(np.asarray(res.heavy_cr, dtype=np.int64)
+                   * np.asarray(res.heavy_cs, dtype=np.int64))
+    return int(np.sum(np.asarray(res.partial_matches, dtype=np.int64))
+               + heavy)
 
 
 def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
@@ -95,6 +102,8 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         from .join import auto_fanout_bits
         local_bits = auto_fanout_bits(recv_mean_r)
     p_local = 1 << local_bits
+    k_half = max(8, cfg.max_heavy_keys // (2 * n_dev))
+    k_cand = 2 * k_half * n_dev
 
     def shard_fn(rk, rr, sk, sr):
         # ---- phase 0 (optional): distributed heavy-hitter pre-pass ----
@@ -105,13 +114,13 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         # shuffle (the reference's skew kernels only act locally,
         # kernels_optimized.cu:301-457 — acting *before* the network phase
         # is the distributed upgrade: it also removes the shuffle hotspot).
-        heavy_total = jnp.int32(0)
+        heavy_cr = jnp.zeros((k_cand,), jnp.int32)
+        heavy_cs = jnp.zeros((k_cand,), jnp.int32)
         drop_r = drop_s = None
         if skew_aware:
             my = jax.lax.axis_index(axis)
             key = jax.random.fold_in(jax.random.key(0), my)
             kr, ks = jax.random.split(key)
-            k_half = max(8, cfg.max_heavy_keys // (2 * n_dev))
             hh_r = skew_ops.detect_heavy_keys(rk, kr, k_half)
             hh_s = skew_ops.detect_heavy_keys(sk, ks, k_half)
             cand_keys = jax.lax.all_gather(
@@ -121,12 +130,13 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
             hh = skew_ops.dedup_heavy(
                 skew_ops.HeavyHitters(cand_keys, cand_valid))
             cr = jax.lax.psum(skew_ops.count_exact(rk, hh), axis)
-            cs = jax.lax.psum(skew_ops.count_exact(sk, hh), axis)
-            # Count each key's product once globally (on its owner shard).
+            heavy_cs = jax.lax.psum(skew_ops.count_exact(sk, hh), axis)
+            # Mask cr to this shard's owned keys so the host-side 64-bit
+            # product sum (cr*cs can overflow int32 under double-sided
+            # skew) counts each key exactly once globally.
             owner = (jnp.arange(cand_keys.shape[0], dtype=jnp.int32)
                      % jnp.int32(n_dev))
-            mine = owner == my
-            heavy_total = jnp.sum(jnp.where(mine, cr * cs, 0))
+            heavy_cr = jnp.where(owner == my, cr, 0)
             drop_r = skew_ops.heavy_mask(rk, hh)
             drop_s = skew_ops.heavy_mask(sk, hh)
 
@@ -205,16 +215,17 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                 r_part, s_part, pcap_r, pcap_s,
                 tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
 
-        return ((matches + heavy_total)[None].astype(jnp.int32),
+        return (matches[None].astype(jnp.int32),
                 (ok & tiers_ok)[None],
-                meta_r.global_hist, meta_s.global_hist)
+                meta_r.global_hist, meta_s.global_hist,
+                heavy_cr[None], heavy_cs[None])
 
     sharded = NamedSharding(mesh, P(axis))
 
     if materialize_max_out is not None:
         out_specs = (P(axis),) * 6
     else:
-        out_specs = (P(axis), P(axis), P(), P())
+        out_specs = (P(axis), P(axis), P(), P(), P(axis), P(axis))
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,

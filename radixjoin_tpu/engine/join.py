@@ -36,17 +36,20 @@ from ..ops.sort import sort_relation
 
 class JoinResult(NamedTuple):
     """Device-side join outputs; aggregate with :func:`total_matches`."""
-    matches: jnp.ndarray       # int32 partitioned-path matches
-    heavy_matches: jnp.ndarray  # int32[K] per-heavy-key match products
-    ok: jnp.ndarray            # bool: no partition overflowed its tier
+    matches: jnp.ndarray    # int32 partitioned-path matches
+    heavy_cr: jnp.ndarray   # int32[K] per-heavy-key R frequency
+    heavy_cs: jnp.ndarray   # int32[K] per-heavy-key S frequency
+    ok: jnp.ndarray         # bool: no partition overflowed its tier
 
 
 def total_matches(res: JoinResult) -> int:
     """64-bit host-side aggregation (the reference's uint64 RESULT_COUNTER,
     operators/HashJoin.cpp:28; final sum at rank 0, Measurements.cpp:599-606).
-    """
-    return int(np.int64(np.asarray(res.matches))
-               + np.sum(np.asarray(res.heavy_matches, dtype=np.int64)))
+    Heavy-key products are multiplied here, in 64-bit — cr*cs overflows
+    int32 under double-sided skew."""
+    heavy = np.sum(np.asarray(res.heavy_cr, dtype=np.int64)
+                   * np.asarray(res.heavy_cs, dtype=np.int64))
+    return int(np.int64(np.asarray(res.matches)) + heavy)
 
 
 def auto_fanout_bits(n: int, target_mean: int = 1024, max_bits: int = 20) -> int:
@@ -82,7 +85,8 @@ def join_count(r: Relation, s: Relation,
     fixed-shape chunks).  In sortmerge mode padding rows are remapped to
     reserved sentinel keys, so the engine key domain is [0, 2^32 - 2).
     """
-    zero_heavy = jnp.zeros((cfg.max_heavy_keys,), jnp.int32)
+    zero_heavy = (jnp.zeros((cfg.max_heavy_keys,), jnp.int32),
+                  jnp.zeros((cfg.max_heavy_keys,), jnp.int32))
     drop_r = drop_s = None
     if r_valid_count is not None:
         drop_r = jnp.arange(r.size, dtype=jnp.int32) >= r_valid_count
@@ -99,7 +103,7 @@ def join_count(r: Relation, s: Relation,
             # sentinel self-matches are impossible (distinct sentinels), but
             # real keys equal to a sentinel are excluded from the domain.
             pass
-        return JoinResult(matches, zero_heavy, jnp.bool_(True))
+        return JoinResult(matches, *zero_heavy, jnp.bool_(True))
 
     if bits is None:
         if cfg.two_level_partitioning and mode == "partitioned":
@@ -117,7 +121,7 @@ def join_count(r: Relation, s: Relation,
                                     max_bits=22)
     n_parts = 1 << bits
 
-    heavy = zero_heavy
+    heavy_cr, heavy_cs = zero_heavy
     if skew_aware:
         # Padded rows must not pollute frequency estimates or heavy counts:
         # remap them to side-distinct sentinels (outside the key domain)
@@ -138,7 +142,7 @@ def join_count(r: Relation, s: Relation,
         hmask_s = skew_ops.heavy_mask(s.keys, hh)
         drop_r = hmask_r if drop_r is None else (drop_r | hmask_r)
         drop_s = hmask_s if drop_s is None else (drop_s | hmask_s)
-        _, _, heavy = skew_ops.heavy_match_count(rk_eff, sk_eff, hh)
+        heavy_cr, heavy_cs = skew_ops.heavy_match_count(rk_eff, sk_eff, hh)
 
     if mode == "banded":
         # Count-only fast path: keys-only rotated partitioning (half the
@@ -160,7 +164,7 @@ def join_count(r: Relation, s: Relation,
             # rotated real key can collide with padding.
             r_pad_key=rotate_for_partition(0xFFFFFFFF, bits, shift),
             s_pad_key=rotate_for_partition(0xFFFFFFFE, bits, shift))
-        return JoinResult(matches, heavy, ok)
+        return JoinResult(matches, heavy_cr, heavy_cs, ok)
 
     r_part = partition_relation(r, bits, shift, drop_r)
     s_part = partition_relation(s, bits, shift, drop_s)
@@ -169,7 +173,7 @@ def join_count(r: Relation, s: Relation,
     matches, ok = probe_count_tiered(
         r_part, s_part, cap_r, cap_s,
         tile=cfg.probe_tile, use_pallas=cfg.use_pallas)
-    return JoinResult(matches, heavy, ok)
+    return JoinResult(matches, heavy_cr, heavy_cs, ok)
 
 
 def join_count_checked(r: Relation, s: Relation,

@@ -60,11 +60,15 @@ def filter_join_aggregate(r: Relation, s: Relation,
     else:
         keep_s = jnp.ones_like(sk, dtype=bool)
 
-    # Masked rows must never match: map them into disjoint shadow domains.
-    # Keys are documented < 2^31 for pipeline queries (TPC-H key spaces fit);
-    # bit 31 + bit 30 disambiguate side.
-    rk = jnp.where(keep_r, rk, jnp.uint32(0x80000000) | rk)
-    sk = jnp.where(keep_s, sk, jnp.uint32(0xC0000000) | sk)
+    # Masked rows must never match: map them into disjoint shadow domains —
+    # R-filtered rows into [0x80000000, 0xBFFFFFFF], S-filtered into
+    # [0xC0000000, 0xFFFFFFFF] (low 30 key bits kept for stable ordering).
+    # The ranges are disjoint from each other AND from live keys (documented
+    # < 2^31 for pipeline queries; TPC-H key spaces fit), so no masked row
+    # can ever join.
+    mask30 = jnp.uint32(0x3FFFFFFF)
+    rk = jnp.where(keep_r, rk, jnp.uint32(0x80000000) | (rk & mask30))
+    sk = jnp.where(keep_s, sk, jnp.uint32(0xC0000000) | (sk & mask30))
 
     out_r, out_s, out_key, valid, total = join_materialize(
         rk, r.rids, sk, s.rids, max_out)

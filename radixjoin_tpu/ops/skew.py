@@ -112,15 +112,17 @@ def count_exact(keys: jnp.ndarray, hh: HeavyHitters) -> jnp.ndarray:
 
 def heavy_match_count(r_keys: jnp.ndarray, s_keys: jnp.ndarray,
                       hh: HeavyHitters):
-    """Join contribution of heavy keys: sum_k count_R(k) * count_S(k).
+    """Join contribution of heavy keys: per-key (count_R, count_S) factors.
 
     Closed-form replacement for probing heavy partitions
-    (kernels_optimized.cu:364-457).  Returns (per_key_counts_r,
-    per_key_counts_s, total float32-exact-int products as int32 per key).
+    (kernels_optimized.cu:364-457).  Returns (cr, cs) int32 per key; the
+    products cr*cs can exceed int32 under double-sided skew (e.g. a 22M-
+    frequency Zipf key on both sides), so callers multiply HOST-side in
+    64-bit — exactly where the reference's uint64 RESULT_COUNTER lives.
     """
     cr = count_exact(r_keys, hh)
     cs = count_exact(s_keys, hh)
-    return cr, cs, cr * cs
+    return cr, cs
 
 
 def heavy_mask(keys: jnp.ndarray, hh: HeavyHitters) -> jnp.ndarray:

@@ -144,6 +144,26 @@ def test_join_rows_auto_overflow_retry():
                                   sk[np.asarray(out_s)[v]])
 
 
+def test_heavy_product_exceeds_int32():
+    # one key with 60K copies on each side: cr*cs = 3.6e9 > 2^31; the
+    # skew path must aggregate the product host-side in 64-bit.
+    c = 60_000
+    n = 1 << 16
+    rng = np.random.default_rng(50)
+    rk = np.concatenate([np.full(c, 77, np.uint32),
+                         rng.integers(1000, 50000, n - c, dtype=np.uint32)])
+    sk = np.concatenate([np.full(c, 77, np.uint32),
+                         rng.integers(1000, 50000, n - c, dtype=np.uint32)])
+    rng.shuffle(rk); rng.shuffle(sk)
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    want = _np_join_count(rk, sk)
+    assert want > 2**31
+    res = join_count(r, s, CFG, skew_aware=True)
+    assert bool(res.ok), "heavy path should absorb the hot key"
+    assert total_matches(res) == want
+
+
 def test_two_level_partitioning_config():
     n = 1 << 13
     r = gen.fill_unique(n, jax.random.key(40))
