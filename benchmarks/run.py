@@ -118,12 +118,15 @@ def run_distributed_config(n_per_shard: int, n_devices: int, reps: int,
 
 
 def run_pipeline_config(n: int, reps: int, meas):
-    from radixjoin_tpu.data import relation as gen
+    from radixjoin_tpu import native
+    from radixjoin_tpu.data.tuples import Relation
     from radixjoin_tpu.engine.pipeline import filter_join_aggregate
 
     with meas.phase("GENERATE", tuples=3 * n):
-        orders = gen.fill_unique(n, jax.random.key(0))
-        lineitem = gen.fill_modulo(2 * n, jax.random.key(1), n)
+        ok_, or_ = native.fill_unique(n, 0, seed=10)
+        lk, lr = native.fill_modulo(2 * n, n, seed=11)
+        orders = Relation(jnp.asarray(ok_), jnp.asarray(or_))
+        lineitem = Relation(jnp.asarray(lk), jnp.asarray(lr))
         _sync(orders.keys)
 
     pred = lambda k, rid: k < jnp.uint32(n // 10)   # 10% selectivity filter
