@@ -205,6 +205,44 @@ def join_rows(r: Relation, s: Relation, max_out: int):
     return join_materialize(r.keys, r.rids, s.keys, s.rids, max_out)
 
 
+@functools.partial(jax.jit, static_argnames=("bits",))
+def prepare_build_side(r: Relation, bits: int):
+    """Partition the build relation once for reuse across many probes.
+
+    Real deployments join a fact stream against the same dimension side
+    repeatedly; the reference rebuilds its hash table per join
+    (BuildProbe.cpp:47-68).  Here the 'hash table' is the rotated sorted
+    layout (docs/DESIGN.md §2), so preparing the build side once removes
+    its sort — roughly halving steady-state join cost.  Count-only (keys
+    are rotated in place).
+    """
+    return partition_keys_rotated(r.keys, bits)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bits"))
+def join_count_prepared(build, s: Relation,
+                        cfg: JoinConfig = DEFAULT_CONFIG,
+                        bits: int | None = None):
+    """Banded count join against a prepared build side.
+
+    ``build`` must come from prepare_build_side with the same ``bits``.
+    Returns (matches_i32, ok); escalate via join_count on ok=False.
+    """
+    if bits is None:
+        bits = auto_fanout_bits(s.size, target_mean=128, max_bits=22)
+    n_parts = 1 << bits
+    s_part = partition_keys_rotated(s.keys, bits)
+    mean_s_rows = max(1, -(-s.size // (n_parts * 128)))
+    window = 2 + 4 * mean_s_rows
+    gr = 32
+    band = -(-(2 * gr * mean_s_rows + window + 8) // 8)
+    return probe_count_banded(
+        build, s_part, window_rows=window, band_blocks=band,
+        rows_per_group=gr,
+        r_pad_key=rotate_for_partition(0xFFFFFFFF, bits),
+        s_pad_key=rotate_for_partition(0xFFFFFFFE, bits))
+
+
 def join_rows_auto(r: Relation, s: Relation, start_max_out: int | None = None,
                    growth: int = 4, max_attempts: int = 8):
     """join_rows with the reference's overflow-retry protocol: when the

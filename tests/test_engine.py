@@ -144,6 +144,20 @@ def test_join_rows_auto_overflow_retry():
                                   sk[np.asarray(out_s)[v]])
 
 
+def test_prepared_build_side_reuse():
+    from radixjoin_tpu.engine.join import (prepare_build_side,
+                                           join_count_prepared)
+    n = 1 << 13
+    bits = 6
+    r = gen.fill_unique(n, jax.random.key(60))
+    build = prepare_build_side(r, bits)
+    for seed in (61, 62):
+        s = gen.fill_unique(n, jax.random.key(seed))
+        matches, ok = join_count_prepared(build, s, CFG, bits=bits)
+        assert bool(ok)
+        assert int(matches) == n
+
+
 def test_heavy_product_exceeds_int32():
     # one key with 60K copies on each side: cr*cs = 3.6e9 > 2^31; the
     # skew path must aggregate the product host-side in 64-bit.
