@@ -8,11 +8,14 @@ drains a serial task queue of per-partition BuildProbe/GPUWrapper tasks
 pipeline as one jit-compiled function — the "task queue" is the Pallas grid.
 
 Modes (reference compile-time forks become runtime strategy choices):
+  - ``banded``       — keys-only rotated partition + zero-copy band/window
+                       Pallas probe (the fast path for near-uniform data)
   - ``partitioned``  — radix partition + tiered padded Pallas probe
                        (GPUWrapper/simple_hash_join_eth path, eth.cu:111-234)
   - ``sortmerge``    — global key-sort + vectorised binary-search count
                        (always-correct fallback; also the materialising path)
-  - ``auto``         — partitioned with heavy-key skew pre-pass
+``join_count_checked`` chains the escalations banded -> tiered -> sortmerge;
+``skew_aware=True`` adds the heavy-key pre-pass to any mode.
 """
 
 from __future__ import annotations

@@ -105,6 +105,35 @@ def test_partition_chunked_matches_monolithic():
             np.sort(np.asarray(b.keys[s:s + c])))
 
 
+def test_partition_by_key_order():
+    rel, keys = _rand_rel(4096, 2**20, 17)
+    p = part.partition_by_key_order(rel, 4)
+    pk = np.asarray(p.keys)
+    starts, counts = np.asarray(p.starts), np.asarray(p.counts)
+    for pid in range(16):
+        seg = pk[starts[pid]:starts[pid] + counts[pid]]
+        assert np.all(seg % 16 == pid)
+        assert np.all(np.diff(seg.astype(np.int64)) >= 0), "key-sorted within"
+    np.testing.assert_array_equal(np.sort(pk), np.sort(keys))
+
+
+def test_partition_keys_rotated_matches_general():
+    rel, keys = _rand_rel(4096, 2**31, 18)
+    bits = 5
+    a = part.partition_keys_rotated(rel.keys, bits)
+    b = part.partition_relation(rel, bits)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    np.testing.assert_array_equal(np.asarray(a.starts), np.asarray(b.starts))
+    # rotated keys un-rotate to the same per-partition key multisets
+    rot = 32 - bits
+    unrot = ((np.asarray(a.keys) >> rot)
+             | (np.asarray(a.keys) << bits)).astype(np.uint32)
+    for pid in range(1 << bits):
+        s, c = int(b.starts[pid]), int(b.counts[pid])
+        np.testing.assert_array_equal(np.sort(unrot[s:s + c]),
+                                      np.sort(np.asarray(b.keys[s:s + c])))
+
+
 def test_gather_padded():
     rel, _ = _rand_rel(1000, 256, 7)
     p = part.partition_relation(rel, 4)
