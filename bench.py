@@ -54,7 +54,7 @@ def bench_join(n: int, reps: int = 3):
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = JoinConfig(use_pallas=on_tpu)
-    mode = "banded" if on_tpu else "partitioned"
+    mode = "diagonal" if on_tpu else "partitioned"
     r = gen.fill_unique(n, jax.random.key(0))
     s = gen.fill_unique(n, jax.random.key(1))
     sync(r.keys)

@@ -87,6 +87,12 @@ class JoinConfig:
     max_heavy_keys: int = 128
 
     # ---- kernel tuning ----
+    # Diagonal probe drift half-width K: shifts within +-K of the rank
+    # diagonal are compared; larger K tolerates more local density drift
+    # before escalation at ~8 VPU ops per unit of K per row.
+    diagonal_k: int = 16
+    # 128-element R rows per diagonal-probe grid step (multiple of 8).
+    diagonal_rows_per_group: int = 32
     # Rows per Pallas probe tile (S side); lane-aligned.
     probe_tile: int = 1024
     # Chunk size (tuples) for the Pallas histogram kernel.

@@ -31,7 +31,8 @@ from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation
 from ..ops import skew as skew_ops
 from ..ops.buildprobe import (probe_count_sorted, probe_count_tiered,
-                              probe_count_banded, join_materialize)
+                              probe_count_banded, probe_count_diagonal,
+                              bias_keys, join_materialize)
 from ..ops.partition import (partition_relation, partition_keys_rotated,
                              rotate_for_partition)
 from ..ops.sort import sort_relation
@@ -147,6 +148,19 @@ def join_count(r: Relation, s: Relation,
         drop_s = hmask_s if drop_s is None else (drop_s | hmask_s)
         heavy_cr, heavy_cs = skew_ops.heavy_match_count(rk_eff, sk_eff, hh)
 
+    if mode == "diagonal":
+        # Fastest count path for locally balanced sides: full key sort of
+        # both relations (biased int32, order-preserving), then the
+        # rank-diagonal probe — no partition ids, no histogram, no windows
+        # beyond one searchsorted over row heads.  ok=False (drift beyond
+        # +-k, band overflow, or size ratio >> 1) escalates to banded.
+        rs = jax.lax.sort(bias_keys(r.keys, drop_r, 0xFFFFFFFF))
+        ss = jax.lax.sort(bias_keys(s.keys, drop_s, 0xFFFFFFFE))
+        matches, ok = probe_count_diagonal(
+            rs, ss, k_drift=cfg.diagonal_k,
+            rows_per_group=cfg.diagonal_rows_per_group)
+        return JoinResult(matches, heavy_cr, heavy_cs, ok)
+
     if mode == "banded":
         # Count-only fast path: keys-only rotated partitioning (half the
         # sort traffic — rids never matter for counting, and rotation makes
@@ -189,11 +203,15 @@ def join_count_checked(r: Relation, s: Relation,
     if not bool(res.ok):
         kw2 = {k: v for k, v in kw.items()
                if k in ("r_valid_count", "s_valid_count")}
-        if kw.get("mode") == "banded":
-            # first escalation: banded -> tiered (handles partition skew)
-            kw3 = dict(kw2, mode="partitioned",
-                       skew_aware=kw.get("skew_aware", False))
-            res = join_count(r, s, cfg, **kw3)
+        mode = kw.get("mode", "partitioned")
+        skew = kw.get("skew_aware", False)
+        # Escalation ladder: diagonal -> banded -> tiered -> sortmerge.
+        # Each rung widens the probe's coverage (rank-diagonal band ->
+        # partition windows -> padded capacity tiers -> full sort-merge).
+        ladder = {"diagonal": ("banded", "partitioned"),
+                  "banded": ("partitioned",)}
+        for nxt in ladder.get(mode, ()):
+            res = join_count(r, s, cfg, mode=nxt, skew_aware=skew, **kw2)
             if bool(res.ok):
                 return total_matches(res)
         res = join_count(r, s, cfg, mode="sortmerge", **kw2)
@@ -244,6 +262,27 @@ def join_count_prepared(build, s: Relation,
         rows_per_group=gr,
         r_pad_key=rotate_for_partition(0xFFFFFFFF, bits),
         s_pad_key=rotate_for_partition(0xFFFFFFFE, bits))
+
+
+@jax.jit
+def prepare_build_sorted(r: Relation):
+    """Sort the build side once (biased int32) for reuse across many
+    diagonal probes — the steady-state 'hash table' of the fastest path."""
+    return jax.lax.sort(bias_keys(r.keys))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def join_count_prepared_diagonal(r_sorted_biased, s: Relation,
+                                 cfg: JoinConfig = DEFAULT_CONFIG):
+    """Diagonal count join against a prepared (pre-sorted) build side.
+
+    Steady-state cost = one S sort + the rank-band probe.  Returns
+    (matches_i32, ok); escalate via join_count on ok=False.
+    """
+    ss = jax.lax.sort(bias_keys(s.keys, None, 0xFFFFFFFE))
+    return probe_count_diagonal(
+        r_sorted_biased, ss, k_drift=cfg.diagonal_k,
+        rows_per_group=cfg.diagonal_rows_per_group)
 
 
 def join_rows_auto(r: Relation, s: Relation, start_max_out: int | None = None,

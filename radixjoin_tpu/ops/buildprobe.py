@@ -448,6 +448,243 @@ def probe_count_banded_reference(r_part: PartitionedRelation,
 
 
 # ---------------------------------------------------------------------------
+# Diagonal rank-band probe — the fully-sorted fast path.
+#
+# When BOTH relations are fully key-sorted, the match positions follow the
+# rank diagonal: the S-rank of R row i's head key (one vectorised
+# searchsorted over row heads — n/128 lookups, not n) pins each row's
+# S-window *exactly*, and within a row the S-position of lane l's matches
+# deviates from (j0 + l) only by the local density drift d.  The kernel
+# realigns the S window to j0 at element granularity (two row-aligned
+# reads + lane rolls, the same Mosaic-legal shift used by
+# partition.gather_padded_aligned) and compares only the 2K+1 shifts with
+# |d| <= K — instead of the banded kernel's all-128-shifts window sweep.
+#
+# Correctness does not rest on a drift model: sortedness gives an *exact*
+# coverage test.  A match missed above the band implies s[l+K+1] <= r[l];
+# one missed below implies s[l-K-1] >= r[l] (both sides ascending).  The
+# kernel evaluates both predicates for every lane (two extra shifted
+# compares) and accumulates a violation count; any violation flips ``ok``
+# and the caller escalates to the banded/tiered/sortmerge paths, exactly
+# like the reference escalates probe strategies on skew
+# (kernels_optimized.cu:301-311).
+#
+# Keys are compared in *biased int32* form (uint32 ^ 0x80000000 bitcast to
+# int32): order and equality are preserved while every in-kernel compare
+# stays a signed int32 op (unsigned ordered compares are the risky corner
+# of the Mosaic ISA).  Sentinels map to int32 max / max-1.
+# ---------------------------------------------------------------------------
+
+_R_SENT_B = 0x7FFFFFFF   # biased image of _R_PAD_KEY (int32 max)
+_S_SENT_B = 0x7FFFFFFE   # biased image of _S_PAD_KEY
+
+
+def bias_keys(keys: jnp.ndarray, drop_mask: jnp.ndarray | None = None,
+              sentinel: int = _R_PAD_KEY) -> jnp.ndarray:
+    """uint32 keys -> order-preserving biased int32 (x ^ 0x80000000).
+
+    Rows where ``drop_mask`` is True are remapped to ``sentinel`` (an
+    out-of-domain uint32) before biasing, so they sort to the tail and can
+    never match the other side."""
+    if drop_mask is not None:
+        keys = jnp.where(drop_mask, jnp.uint32(sentinel), keys)
+    return jax.lax.bitcast_convert_type(
+        keys ^ jnp.uint32(0x80000000), jnp.int32)
+
+
+def _probe_diag_kernel(K, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref,
+                       out_ref, scratch, sems):
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    k = jax.lax.rem(g, _ROWS)
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def band_dma(gi, sl):
+        return pltpu.make_async_copy(
+            s_ref.at[pl.ds(wg_ref[gi], b8), :], scratch.at[sl], sems.at[sl])
+
+    @pl.when(g == 0)
+    def _():
+        band_dma(0, 0).start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        band_dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+    band_dma(g, slot).wait()
+
+    meta = wmeta_ref[pl.ds(k, 1), :]                    # (1, 128)
+    lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+
+    cnt = jnp.zeros((1, 128), jnp.int32)
+    viol = jnp.zeros((1, 128), jnp.int32)
+    for i in range(gr):                                 # static unroll
+        e = meta[0, 1 + i]                              # window start elem
+        base = e // 128
+        ksh = e - base * 128                            # 0..127
+        # Element-granular realignment: two row-aligned (2,128) reads one
+        # row apart, lane-roll both by (128-ksh), merge by lane — swin row
+        # 0 = S[e, e+128), row 1 = S[e+128, e+256).
+        a = scratch[slot, pl.ds(base, 2), :]
+        b = scratch[slot, pl.ds(base + 1, 2), :]
+        sh_al = jax.lax.rem(128 - ksh, 128)
+        rol_a = pltpu.roll(a, sh_al, axis=1)
+        rol_b = pltpu.roll(b, sh_al, axis=1)
+        swin = jnp.where(lanes2 < 128 - ksh, rol_a, rol_b)
+        s0 = swin[0:1, :]
+        s1 = swin[1:2, :]
+        rrow = rk_ref[i:i + 1, :]
+
+        # Diagonal band: rolled rrow at shift sh pairs lane l=(j-sh)%128
+        # with S offset q=j (s0) / q=128+j (s1).  Shift set {0..K} on both
+        # rows + {128-K..127} on s0 covers exactly all pairs with
+        # d = q - l in [-K, K]; out-of-band pairs each land on a unique
+        # (row, sh) so nothing is double counted, and any *real* match
+        # outside the band trips the violation check below, discarding the
+        # whole result.
+        acc = (s0 == rrow).astype(jnp.int32)
+        for sh in range(1, K + 1):
+            rolled = pltpu.roll(rrow, sh, axis=1)
+            acc = acc + (s0 == rolled).astype(jnp.int32) \
+                      + (s1 == rolled).astype(jnp.int32)
+        for sh in range(128 - K, 128):
+            rolled = pltpu.roll(rrow, sh, axis=1)
+            acc = acc + (s0 == rolled).astype(jnp.int32)
+        cnt = cnt + acc
+
+        # Exact coverage check (monotone envelopes).  r-sentinel lanes
+        # (padded tail rows) are masked — int32 max would trip check 1.
+        rvalid = (rrow != jnp.int32(_R_SENT_B)).astype(jnp.int32)
+        c0 = pltpu.roll(s0, 127 - K, axis=1)            # s[(l+K+1) % 128]
+        c1 = pltpu.roll(s1, 127 - K, axis=1)
+        s_hi = jnp.where(lanes1 < 127 - K, c0, c1)      # s[l+K+1]
+        viol = viol + (s_hi <= rrow).astype(jnp.int32) * rvalid
+        c2 = pltpu.roll(s0, K + 1, axis=1)              # s[(l-K-1) % 128]
+        v2 = (c2 >= rrow).astype(jnp.int32) * rvalid
+        viol = viol + jnp.where(lanes1 >= K + 1, v2, 0)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
+    out_ref[...] += jnp.where((iota_r == k) & (iota_l == 0), jnp.sum(cnt), 0) \
+        + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group",
+                                             "band_blocks", "interpret"))
+def probe_count_diagonal(r_sorted: jnp.ndarray, s_sorted: jnp.ndarray,
+                         k_drift: int = 16,
+                         rows_per_group: int = 32,
+                         band_blocks: int | None = None,
+                         interpret: bool | None = None):
+    """Diagonal rank-band count join over fully-sorted biased-int32 keys.
+
+    ``r_sorted``/``s_sorted`` come from ``jax.lax.sort(bias_keys(...))``;
+    dropped rows must already be sentinel-mapped (bias_keys drop_mask).
+    Returns (total_matches_i32, ok).  ``ok`` False means some match (or
+    rank drift) fell outside the +-``k_drift`` diagonal band or a group's
+    window span overflowed the DMA band — escalate to probe_count_banded /
+    tiered / sortmerge.  Requires locally balanced sides (|S| ~ |R|): a
+    global size ratio >> 1 makes the within-row diagonal slope != 1 and
+    trips the check by construction.
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    K = k_drift
+    assert 1 <= K <= 120
+    gr = rows_per_group
+    assert gr % _ROWS == 0 and gr <= 120
+    n_r = r_sorted.shape[0]
+    n_s = s_sorted.shape[0]
+
+    if band_blocks is None:
+        # Group span ~ gr*128 * |S|/|R| plus drift/realignment slack.
+        span = (gr * 128 * n_s + n_r - 1) // n_r
+        band_blocks = (span + 1024 + 2 * K + 256) // 1024 + 1
+    b8 = band_blocks * _ROWS
+
+    # --- pad R to whole groups with the r sentinel ---
+    gelems = gr * 128
+    n_r_pad = ((n_r + gelems - 1) // gelems) * gelems
+    rk = r_sorted
+    if n_r_pad != n_r:
+        rk = jnp.concatenate(
+            [rk, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_B))])
+    n_rows = n_r_pad // 128
+    n_groups = n_rows // gr
+
+    # --- pad S with sentinel headroom so band DMAs never run off the end ---
+    n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
+    sk = jnp.concatenate(
+        [s_sorted, jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_B))])
+    s2d = sk.reshape(-1, 128)
+    s_max_row = s2d.shape[0] - b8
+
+    # --- per-row exact S offsets (the entire "build phase") ---
+    heads = rk[::128]                                       # (n_rows,)
+    j0 = jnp.searchsorted(s_sorted, heads, side="left").astype(jnp.int32)
+    j0g = j0.reshape(n_groups, gr)
+    wg = jnp.clip(j0g[:, 0] // 128, 0, s_max_row)           # band start row
+    e = j0g - wg[:, None] * 128                             # window elem offs
+    e_cap = (b8 - 3) * 128                                  # slice bound
+    row_valid = (heads != jnp.int32(_R_SENT_B)).reshape(n_groups, gr)
+    ok_band = jnp.all(jnp.where(row_valid, (e >= 0) & (e <= e_cap), True))
+    e = jnp.clip(e, 0, e_cap)
+
+    # --- pad groups to a multiple of 8 ---
+    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
+    if n_groups8 != n_groups:
+        pad = n_groups8 - n_groups
+        wg = jnp.concatenate([wg, jnp.zeros((pad,), jnp.int32)])
+        e = jnp.concatenate([e, jnp.zeros((pad, gr), jnp.int32)])
+        rk = jnp.concatenate(
+            [rk, jnp.full((pad * gelems,), jnp.int32(_R_SENT_B))])
+    r2d = rk.reshape(-1, 128)
+
+    wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
+    wmeta = wmeta.at[:, 1:1 + gr].set(e.reshape(n_groups8, gr))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups8,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    per_group = pl.pallas_call(
+        functools.partial(_probe_diag_kernel, K, b8, gr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
+        interpret=interpret,
+    )(wg, wmeta, r2d, s2d)
+    matches = jnp.sum(per_group[:, 0])
+    ok = (jnp.sum(per_group[:, 1]) == 0) & ok_band
+    return matches, ok
+
+
+def probe_count_diagonal_reference(r_keys: jnp.ndarray, s_keys: jnp.ndarray,
+                                   drop_r=None, drop_s=None):
+    """jnp-only mirror of the diagonal probe's semantics (CPU oracle)."""
+    rk = bias_keys(r_keys, drop_r, _R_PAD_KEY)
+    sk = bias_keys(s_keys, drop_s, _S_PAD_KEY)
+    return probe_count_sorted(jnp.sort(rk), sk)
+
+
+# ---------------------------------------------------------------------------
 # Tiered probe — partition-level skew handling (see ops/skew.py §1; the
 # reference's block-remapping probes, kernels_optimized.cu:321-457, become
 # repeated fixed-capacity passes over geometrically growing tiers).

@@ -128,6 +128,64 @@ def test_banded_mode_escalates_on_skew():
     assert got == n * n
 
 
+def test_diagonal_mode_engine():
+    n = 1 << 14
+    r = gen.fill_unique(n, jax.random.key(40))
+    s = gen.fill_unique(n, jax.random.key(41))
+    res = join_count(r, s, CFG, mode="diagonal")
+    assert bool(res.ok)
+    assert total_matches(res) == n
+
+
+def test_diagonal_mode_skew_aware_heavy_keys():
+    # heavy key removed by the skew pre-pass; the post-drop sides stay
+    # near 1:1 (the diagonal path requires locally balanced sides) and the
+    # remaining drift fits K
+    n = 1 << 12
+    hot = n // 8
+    rng = np.random.default_rng(42)
+    rk = rng.permutation(n).astype(np.uint32)
+    sk = np.concatenate([np.full(hot, 7, np.uint32),
+                         rng.permutation(n)[:n - hot].astype(np.uint32)])
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    res = join_count(r, s, CFG.replace(diagonal_k=64), mode="diagonal",
+                     skew_aware=True)
+    assert bool(res.ok)
+    assert total_matches(res) == _np_join_count(rk, sk)
+
+
+def test_diagonal_mode_escalates():
+    # all-duplicate workload blows the diagonal band AND the banded
+    # window; the ladder must land on an exact rung
+    n = 1 << 12
+    r = make_relation(np.full(n, 9, np.uint32), np.arange(n, dtype=np.uint32))
+    s = make_relation(np.full(n, 9, np.uint32), np.arange(n, dtype=np.uint32))
+    got = join_count_checked(r, s, CFG, mode="diagonal")
+    assert got == n * n
+    # moderate-skew workload: escalates diagonal -> banded/tiered only
+    rng = np.random.default_rng(43)
+    rk = rng.integers(0, 200, n).astype(np.uint32)
+    sk = rng.integers(0, 200, n).astype(np.uint32)
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    got = join_count_checked(r, s, CFG, mode="diagonal")
+    assert got == _np_join_count(rk, sk)
+
+
+def test_prepared_diagonal_reuse():
+    from radixjoin_tpu.engine.join import (prepare_build_sorted,
+                                           join_count_prepared_diagonal)
+    n = 1 << 13
+    r = gen.fill_unique(n, jax.random.key(70))
+    build = prepare_build_sorted(r)
+    for seed in (71, 72):
+        s = gen.fill_unique(n, jax.random.key(seed))
+        matches, ok = join_count_prepared_diagonal(build, s, CFG)
+        assert bool(ok)
+        assert int(matches) == n
+
+
 def test_join_rows_auto_overflow_retry():
     from radixjoin_tpu.engine.join import join_rows_auto
     n = 512

@@ -275,6 +275,90 @@ def test_probe_count_banded_overflow_flag():
     assert not bool(ok)
 
 
+def _diag_sorted(keys, drop=None, sentinel=0xFFFFFFFF):
+    return jnp.sort(bp.bias_keys(jnp.asarray(keys), drop, sentinel))
+
+
+def test_probe_count_diagonal_unique_dense():
+    # the self-validating workload: both sides permutations of one range
+    rng = np.random.default_rng(30)
+    r = rng.permutation(8192).astype(np.uint32)
+    s = rng.permutation(8192).astype(np.uint32)
+    total, ok = bp.probe_count_diagonal(
+        _diag_sorted(r), _diag_sorted(s, sentinel=0xFFFFFFFE), k_drift=4)
+    assert bool(ok)
+    assert int(total) == 8192
+
+
+def test_probe_count_diagonal_duplicates_drift():
+    # small key domain -> duplicates -> nonzero within-row rank drift in
+    # both directions; count must be exact whenever ok holds, and ok must
+    # hold for a K comfortably above the max drift of this size.
+    rng = np.random.default_rng(31)
+    r = rng.integers(0, 1500, 2048).astype(np.uint32)
+    s = rng.integers(0, 1500, 2048).astype(np.uint32)
+    want = _np_join_count(r, s)
+    total, ok = bp.probe_count_diagonal(
+        _diag_sorted(r), _diag_sorted(s, sentinel=0xFFFFFFFE),
+        k_drift=64, rows_per_group=8)
+    assert bool(ok)
+    assert int(total) == want
+    # high-bit keys: biased-int32 compares must preserve uint32 order
+    r2 = (r + np.uint32(0x80000000)).astype(np.uint32)
+    s2 = (s + np.uint32(0x80000000)).astype(np.uint32)
+    total2, ok2 = bp.probe_count_diagonal(
+        _diag_sorted(r2), _diag_sorted(s2, sentinel=0xFFFFFFFE),
+        k_drift=64, rows_per_group=8)
+    assert bool(ok2) and int(total2) == want
+
+
+def test_probe_count_diagonal_drop_mask():
+    rng = np.random.default_rng(32)
+    r = rng.integers(0, 4000, 4096).astype(np.uint32)
+    s = rng.integers(0, 4000, 4096).astype(np.uint32)
+    drop_r = jnp.asarray(r % 5 == 0)
+    drop_s = jnp.asarray(s % 7 == 0)
+    total, ok = bp.probe_count_diagonal(
+        _diag_sorted(r, drop_r), _diag_sorted(s, drop_s, 0xFFFFFFFE),
+        k_drift=64, rows_per_group=8)
+    assert bool(ok)
+    assert int(total) == _np_join_count(r[r % 5 != 0], s[s % 7 != 0])
+
+
+def test_probe_count_diagonal_trips_on_skew_and_ratio():
+    # heavy duplicates: matches far off the diagonal must flip ok
+    r = np.zeros(2048, dtype=np.uint32)
+    s = np.zeros(2048, dtype=np.uint32)
+    _, ok = bp.probe_count_diagonal(
+        _diag_sorted(r), _diag_sorted(s, sentinel=0xFFFFFFFE), k_drift=8)
+    assert not bool(ok)
+    # size ratio >> 1: within-row diagonal slope != 1 -> must flip ok
+    rng = np.random.default_rng(33)
+    r = rng.permutation(2048).astype(np.uint32)
+    s = np.repeat(np.arange(2048, dtype=np.uint32), 4)
+    _, ok = bp.probe_count_diagonal(
+        _diag_sorted(r), _diag_sorted(s, sentinel=0xFFFFFFFE), k_drift=8)
+    assert not bool(ok)
+
+
+def test_probe_count_diagonal_fuzz_ok_implies_exact():
+    # whenever the kernel reports ok, the count must be exact — across
+    # domains that produce a spectrum of drift
+    rng = np.random.default_rng(34)
+    n_ok = 0
+    for domain in (300, 1000, 5000, 50000):
+        for trial in range(3):
+            r = rng.integers(0, domain, 1536).astype(np.uint32)
+            s = rng.integers(0, domain, 1536).astype(np.uint32)
+            total, ok = bp.probe_count_diagonal(
+                _diag_sorted(r), _diag_sorted(s, sentinel=0xFFFFFFFE),
+                k_drift=48, rows_per_group=8)
+            if bool(ok):
+                n_ok += 1
+                assert int(total) == _np_join_count(r, s)
+    assert n_ok >= 6   # the check must not be so conservative it never ok's
+
+
 # -------------------------- sort / filter / aggregate --------------------------
 
 def test_sort_relation():
