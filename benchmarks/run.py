@@ -39,11 +39,11 @@ def run_join_config(n: int, reps: int, skew: bool, meas, cfg):
     from radixjoin_tpu.data.tuples import Relation
     from radixjoin_tpu.engine.join import join_count, total_matches
 
-    # Banded suits near-uniform workloads; Zipf's mid-tail (post heavy-key
-    # removal) exceeds its static windows and would just escalate, so the
-    # skew config goes straight to the tiered path.
+    # Diagonal suits near-uniform balanced workloads; Zipf's mid-tail (post
+    # heavy-key removal) exceeds any rank band / banded window and would
+    # just escalate, so the skew config goes straight to the tiered path.
     on_tpu = jax.default_backend() == "tpu"
-    mode = "partitioned" if skew else ("banded" if on_tpu else "partitioned")
+    mode = "partitioned" if skew else ("diagonal" if on_tpu else "partitioned")
     with meas.phase("GENERATE", tuples=2 * n):
         # Host-side native generation (the reference also generates on the
         # host, main.cpp:94-98), then one H2D transfer.

@@ -31,6 +31,7 @@ from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation, radix_bits
 from ..ops import skew as skew_ops
 from ..ops.buildprobe import (probe_count_tiered, probe_count_banded,
+                              probe_count_diagonal, bias_keys,
                               join_materialize)
 from ..ops.partition import partition_relation
 from ..parallel.metadata import compute_metadata
@@ -182,6 +183,25 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         # within an owned partition, so only higher bits spread the data.
         r_rel = Relation(shuf_r.keys, shuf_r.rids)
         s_rel = Relation(shuf_s.keys, shuf_s.rids)
+        if local_probe == "diagonal" and materialize_max_out is None:
+            # Fastest local rung (engine/join.py mode="diagonal"): a full
+            # key sort of the received shard replaces the second radix
+            # pass entirely; invalid shuffle slots sentinel-sort to the
+            # tail.  Shards are balanced by construction (same key
+            # distribution both sides), the diagonal's requirement.
+            from ..utils.backend import pallas_interpret
+            rs = jax.lax.sort(bias_keys(shuf_r.keys, ~shuf_r.valid,
+                                        0xFFFFFFFF))
+            ss = jax.lax.sort(bias_keys(shuf_s.keys, ~shuf_s.valid,
+                                        0xFFFFFFFE))
+            matches, tiers_ok = probe_count_diagonal(
+                rs, ss, k_drift=cfg.diagonal_k,
+                rows_per_group=8 if pallas_interpret() else
+                cfg.diagonal_rows_per_group)
+            return (matches[None].astype(jnp.int32),
+                    (ok & tiers_ok)[None],
+                    meta_r.global_hist, meta_s.global_hist,
+                    heavy_cr[None], heavy_cs[None])
         r_part = partition_relation(r_rel, local_bits, net_bits, ~shuf_r.valid)
         s_part = partition_relation(s_rel, local_bits, net_bits, ~shuf_s.valid)
         if materialize_max_out is not None:

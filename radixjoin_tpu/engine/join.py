@@ -202,7 +202,7 @@ def join_count_checked(r: Relation, s: Relation,
     res = join_count(r, s, cfg, **kw)
     if not bool(res.ok):
         kw2 = {k: v for k, v in kw.items()
-               if k in ("r_valid_count", "s_valid_count")}
+               if k in ("r_valid_count", "s_valid_count", "shift")}
         mode = kw.get("mode", "partitioned")
         skew = kw.get("skew_aware", False)
         # Escalation ladder: diagonal -> banded -> tiered -> sortmerge.

@@ -4,9 +4,21 @@ The north-star pipeline config (BASELINE.json: "Pipeline query: filter ->
 hash join -> hash aggregate (TPC-H-style lineitem><orders, SF100)").  The
 reference engine hard-wires exactly one query shape (the equi-join,
 main.cpp:116-126); this module composes the extended operator set into the
-canonical analytics pipeline while staying one jit-compiled program, so XLA
-fuses the filter mask into the partitioning sort and the aggregate shares
-the join's sorted layout.
+canonical analytics pipeline.
+
+Two execution strategies:
+  - **fast** (default attempt): sort both filtered sides and run the
+    Pallas windowed emit kernel (ops/buildprobe.join_materialize_windowed)
+    — scatter-free materialisation with a dense per-fact-row output, no
+    static output bound.  Valid whenever each fact row matches at most one
+    dim row (the dominant analytics shape); anything else flips ok.
+  - **reference fallback**: the XLA searchsorted/gather materialisation
+    with a static ``max_out`` bound (join_materialize) — always correct,
+    gather-bound.
+
+Filters are fused as masks in both paths: filtered-out rows keep their
+storage but are excluded via a key rewrite to per-side non-joining shadow
+domains, so no compaction pass is needed.
 """
 
 from __future__ import annotations
@@ -20,8 +32,10 @@ import jax.numpy as jnp
 from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation
 from ..ops.aggregate import aggregate_sum
-from ..ops.buildprobe import join_materialize
+from ..ops.buildprobe import (bias_keys, join_materialize,
+                              join_materialize_windowed)
 from ..ops.filter import filter_mask
+from ..utils.backend import pallas_interpret
 
 
 class PipelineResult(NamedTuple):
@@ -32,8 +46,80 @@ class PipelineResult(NamedTuple):
     join_count: jnp.ndarray   # int32 (pre-aggregate join cardinality)
 
 
+def _shadow_keys(r: Relation, s: Relation, r_pred, s_pred):
+    """Apply filters as key rewrites into disjoint non-joining domains.
+
+    R-filtered rows map into [0x80000000, 0x8FFFFFFF], S-filtered into
+    [0xC0000000, 0xCFFFFFFF] (low 28 bits kept for stable ordering).  The
+    ranges are disjoint from each other, from live keys (documented < 2^31
+    for pipeline queries; TPC-H key spaces fit), and from the engine's
+    padding sentinels (0xFFFFFFFE/F), so no masked row can ever join.
+    """
+    rk, sk = r.keys, s.keys
+    keep_r = filter_mask(r, r_pred) if r_pred is not None else \
+        jnp.ones_like(rk, dtype=bool)
+    keep_s = filter_mask(s, s_pred) if s_pred is not None else \
+        jnp.ones_like(sk, dtype=bool)
+    mask28 = jnp.uint32(0x0FFFFFFF)
+    rk = jnp.where(keep_r, rk, jnp.uint32(0x80000000) | (rk & mask28))
+    sk = jnp.where(keep_s, sk, jnp.uint32(0xC0000000) | (sk & mask28))
+    return rk, sk
+
+
+@functools.partial(jax.jit, static_argnames=("r_pred", "s_pred",
+                                             "max_groups", "value_of"))
+def _fja_fast(r: Relation, s: Relation, r_pred, s_pred, max_groups: int,
+              value_of):
+    """Fast path: S (the fact side) drives the windowed emit kernel against
+    R (the dim side).  Returns (PipelineResult, ok)."""
+    rk, sk = _shadow_keys(r, s, r_pred, s_pred)
+    # fact = s (many side), dim = r (<=1 match per fact row when r's join
+    # key is unique post-filter)
+    fk, frid = jax.lax.sort((bias_keys(sk), s.rids), num_keys=1)
+    dk, drid = jax.lax.sort((bias_keys(rk), r.rids), num_keys=1)
+    # Interpret mode (CPU tests) traces the unrolled kernel body per grid
+    # step; a smaller group keeps compile time sane.
+    gr = 8 if pallas_interpret() else 32
+    out_drid, cnt, ok = join_materialize_windowed(fk, dk, drid,
+                                                  rows_per_group=gr)
+
+    valid = cnt == 1
+    total = jnp.sum(cnt)
+    out_key = jax.lax.bitcast_convert_type(fk, jnp.uint32) \
+        ^ jnp.uint32(0x80000000)
+    gk_in = jnp.where(valid, out_key, jnp.uint32(0xFFFFFFFF))
+    if value_of is None:
+        values = valid.astype(jnp.int32)
+    else:
+        values = jnp.where(valid,
+                           value_of(out_drid.astype(jnp.uint32), frid), 0)
+    gk, gs, gvalid, _ = aggregate_sum(gk_in, values, max_groups)
+    real = gvalid & (gk != jnp.uint32(0xFFFFFFFF))
+    return PipelineResult(gk, gs, real, jnp.sum(real.astype(jnp.int32)),
+                          total), ok
+
+
 @functools.partial(jax.jit, static_argnames=("r_pred", "s_pred", "max_out",
                                              "max_groups", "value_of"))
+def _fja_reference(r: Relation, s: Relation, r_pred, s_pred, max_out: int,
+                   max_groups: int, value_of) -> PipelineResult:
+    """Always-correct fallback: XLA sort-merge materialisation with a
+    static output bound (reference `probe` semantics, kernels.cu:199-246).
+    """
+    rk, sk = _shadow_keys(r, s, r_pred, s_pred)
+    out_r, out_s, out_key, valid, total = join_materialize(
+        rk, r.rids, sk, s.rids, max_out)
+    out_key = jnp.where(valid, out_key, jnp.uint32(0xFFFFFFFF))
+    if value_of is None:
+        values = valid.astype(jnp.int32)
+    else:
+        values = jnp.where(valid, value_of(out_r, out_s), 0)
+    gk, gs, gvalid, ng = aggregate_sum(out_key, values, max_groups)
+    real = gvalid & (gk != jnp.uint32(0xFFFFFFFF))
+    return PipelineResult(gk, gs, real, jnp.sum(real.astype(jnp.int32)),
+                          total)
+
+
 def filter_join_aggregate(r: Relation, s: Relation,
                           r_pred: Callable | None,
                           s_pred: Callable | None,
@@ -42,46 +128,15 @@ def filter_join_aggregate(r: Relation, s: Relation,
                           value_of: Callable | None = None
                           ) -> PipelineResult:
     """SELECT r.key, SUM(value) FROM r JOIN s USING(key)
-       WHERE r_pred(r) AND s_pred(s) GROUP BY group_key.
+       WHERE r_pred(r) AND s_pred(s) GROUP BY join key.
 
-    - Filters are fused as masks: filtered-out rows keep their storage but
-      are excluded via a key rewrite to a per-side non-joining shadow domain
-      (top-bit tagging), so no compaction pass is needed.
     - ``value_of(r_rid, s_rid) -> value`` defaults to counting (value 1).
-    - Grouping key is the join key of each output row.
+    - Tries the Pallas fast path first; on ok=False (a fact row matched
+      more than one dim row, or window overflow) reruns via the reference
+      materialisation bounded by ``max_out``.
     """
-    rk, sk = r.keys, s.keys
-    if r_pred is not None:
-        keep_r = filter_mask(r, r_pred)
-    else:
-        keep_r = jnp.ones_like(rk, dtype=bool)
-    if s_pred is not None:
-        keep_s = filter_mask(s, s_pred)
-    else:
-        keep_s = jnp.ones_like(sk, dtype=bool)
-
-    # Masked rows must never match: map them into disjoint shadow domains —
-    # R-filtered rows into [0x80000000, 0xBFFFFFFF], S-filtered into
-    # [0xC0000000, 0xFFFFFFFF] (low 30 key bits kept for stable ordering).
-    # The ranges are disjoint from each other AND from live keys (documented
-    # < 2^31 for pipeline queries; TPC-H key spaces fit), so no masked row
-    # can ever join.
-    mask30 = jnp.uint32(0x3FFFFFFF)
-    rk = jnp.where(keep_r, rk, jnp.uint32(0x80000000) | (rk & mask30))
-    sk = jnp.where(keep_s, sk, jnp.uint32(0xC0000000) | (sk & mask30))
-
-    out_r, out_s, out_key, valid, total = join_materialize(
-        rk, r.rids, sk, s.rids, max_out)
-    # Shadow group for invalid slots so they aggregate separately and are
-    # dropped below.
-    out_key = jnp.where(valid, out_key, jnp.uint32(0xFFFFFFFF))
-
-    if value_of is None:
-        values = valid.astype(jnp.int32)
-    else:
-        values = jnp.where(valid, value_of(out_r, out_s), 0)
-    gk, gs, gvalid, ng = aggregate_sum(out_key, values, max_groups)
-    # The invalid-slot shadow group (key 0xFFFFFFFF) must be dropped.
-    real = gvalid & (gk != jnp.uint32(0xFFFFFFFF))
-    return PipelineResult(gk, gs, real, jnp.sum(real.astype(jnp.int32)),
-                          total)
+    res, ok = _fja_fast(r, s, r_pred, s_pred, max_groups, value_of)
+    if bool(ok):
+        return res
+    return _fja_reference(r, s, r_pred, s_pred, max_out, max_groups,
+                          value_of)

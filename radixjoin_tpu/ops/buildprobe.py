@@ -746,6 +746,197 @@ def probe_count_tiered(r_part: PartitionedRelation,
 
 
 # ---------------------------------------------------------------------------
+# Windowed materialising join — Pallas emit kernel over sorted relations.
+#
+# The XLA join_materialize below is gather-bound (its output fill is a
+# general gather, ~100x off HBM speed-of-light).  This kernel materialises
+# scatter-free: with both sides key-sorted, each R row's matching S range
+# is pinned by two searchsorteds over row heads/tails (row-granular
+# windows, like the banded probe but exact — no partition ids needed and
+# no slope assumption, since the full 128-shift sweep covers the whole
+# window).  For every R element the kernel emits its matched S rid into
+# the *same lane* (roll the j-space hit vector back by the shift), so the
+# output is a dense per-R-element (s_rid, match_count) pair — no output
+# cursor, no atomics (cf. the GPU's atomicAdd-claimed output slots,
+# kernels.cu:236-243).
+#
+# Match rate: exact counts always; emitted rids are valid where
+# count == 1.  Any element with count > 1 flips ``ok`` and callers fall
+# back to join_materialize (the reference's overflow-retry protocol,
+# kernels.cu:376-403).  The dominant analytics shape — fact joins dim on
+# a key unique on the dim side — is entirely count <= 1.
+# ---------------------------------------------------------------------------
+
+
+def _emit_kernel(w, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref, srid_ref,
+                 rid_out_ref, cnt_out_ref, scr_k, scr_r, sem_k, sem_r):
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    k = jax.lax.rem(g, _ROWS)
+
+    def band_dma(gi, sl):
+        return (pltpu.make_async_copy(
+                    s_ref.at[pl.ds(wg_ref[gi], b8), :], scr_k.at[sl],
+                    sem_k.at[sl]),
+                pltpu.make_async_copy(
+                    srid_ref.at[pl.ds(wg_ref[gi], b8), :], scr_r.at[sl],
+                    sem_r.at[sl]))
+
+    @pl.when(g == 0)
+    def _():
+        for c in band_dma(0, 0):
+            c.start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        for c in band_dma(g + 1, jax.lax.rem(g + 1, 2)):
+            c.start()
+
+    for c in band_dma(g, slot):
+        c.wait()
+
+    meta = wmeta_ref[pl.ds(k, 1), :]                    # (1, 128)
+    for i in range(gr):                                 # static unroll
+        base = meta[0, 1 + i]                           # window row in band
+        swin_k = scr_k[slot, pl.ds(base, w), :]         # (w, 128)
+        swin_r = scr_r[slot, pl.ds(base, w), :]
+        rrow = rk_ref[i:i + 1, :]
+
+        def shift_body(sh, carry, swin_k=swin_k, swin_r=swin_r, rrow=rrow):
+            out_v, out_c = carry
+            rolled = pltpu.roll(rrow, sh, axis=1)
+            m = (swin_k == rolled).astype(jnp.int32)    # (w, 128) j-space
+            pick = jnp.sum(m * swin_r, axis=0, keepdims=True)
+            c = jnp.sum(m, axis=0, keepdims=True)
+            back = jax.lax.rem(128 - sh, 128)           # j -> l lane map
+            return (out_v + pltpu.roll(pick, back, axis=1),
+                    out_c + pltpu.roll(c, back, axis=1))
+
+        out_v, out_c = jax.lax.fori_loop(
+            0, 128, shift_body,
+            (jnp.zeros((1, 128), jnp.int32), jnp.zeros((1, 128), jnp.int32)),
+            unroll=128)
+        rid_out_ref[i:i + 1, :] = out_v
+        cnt_out_ref[i:i + 1, :] = out_c
+
+
+@functools.partial(jax.jit, static_argnames=("window_rows", "rows_per_group",
+                                             "band_blocks", "interpret"))
+def join_materialize_windowed(r_sorted: jnp.ndarray,
+                              s_sorted: jnp.ndarray, s_rids: jnp.ndarray,
+                              window_rows: int = 4,
+                              rows_per_group: int = 32,
+                              band_blocks: int | None = None,
+                              interpret: bool | None = None):
+    """Materialising equi-join over key-sorted relations (biased int32 keys
+    from :func:`bias_keys`, int32 rids co-sorted with the keys).
+
+    Returns (s_rid_i32[n_r], count_i32[n_r], ok) aligned to the sorted R
+    order: element i of R matched ``count[i]`` S rows; where count == 1,
+    ``s_rid[i]`` is its partner's rid (R's own rid for slot i is simply the
+    co-sorted R rid array).  ``ok`` False when any count > 1 (emitted rids
+    would be rid-sums) or any row's S window exceeded ``window_rows`` rows
+    / the DMA band — fall back to join_materialize.
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    w = window_rows
+    gr = rows_per_group
+    assert gr % _ROWS == 0 and gr <= 120
+    n_r = r_sorted.shape[0]
+    n_s = s_sorted.shape[0]
+
+    if band_blocks is None:
+        span = (gr * 128 * n_s + n_r - 1) // n_r
+        band_blocks = (span + (w + 2) * 128 + 1024) // 1024 + 1
+    b8 = band_blocks * _ROWS
+
+    gelems = gr * 128
+    n_r_pad = ((n_r + gelems - 1) // gelems) * gelems
+    rk = r_sorted
+    if n_r_pad != n_r:
+        rk = jnp.concatenate(
+            [rk, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_B))])
+    n_rows = n_r_pad // 128
+    n_groups = n_rows // gr
+
+    n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
+    sk = jnp.concatenate(
+        [s_sorted, jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_B))])
+    srid = jnp.concatenate(
+        [s_rids.astype(jnp.int32),
+         jnp.zeros((n_s_pad - n_s,), jnp.int32)])
+    s2d = sk.reshape(-1, 128)
+    srid2d = srid.reshape(-1, 128)
+    s_max_row = s2d.shape[0] - b8
+
+    heads = rk[::128]
+    tails = rk[127::128]
+    j0 = jnp.searchsorted(s_sorted, heads, side="left").astype(jnp.int32)
+    j1 = jnp.searchsorted(s_sorted, tails, side="right").astype(jnp.int32)
+    w_row = j0 // 128                                   # window start row
+    row_valid = heads != jnp.int32(_R_SENT_B)
+    cover_ok = jnp.all(jnp.where(row_valid, j1 <= (w_row + w) * 128, True))
+
+    wg = jnp.clip(w_row.reshape(n_groups, gr)[:, 0], 0, s_max_row)
+    base = w_row.reshape(n_groups, gr) - wg[:, None]
+    band_ok = jnp.all(jnp.where(row_valid.reshape(n_groups, gr),
+                                (base >= 0) & (base + w <= b8), True))
+    base = jnp.clip(base, 0, b8 - w)
+
+    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
+    if n_groups8 != n_groups:
+        pad = n_groups8 - n_groups
+        wg = jnp.concatenate([wg, jnp.zeros((pad,), jnp.int32)])
+        base = jnp.concatenate([base, jnp.zeros((pad, gr), jnp.int32)])
+        rk = jnp.concatenate(
+            [rk, jnp.full((pad * gelems,), jnp.int32(_R_SENT_B))])
+    r2d = rk.reshape(-1, 128)
+
+    wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
+    wmeta = wmeta.at[:, 1:1 + gr].set(base.reshape(n_groups8, gr))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups8,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_rid, out_cnt = pl.pallas_call(
+        functools.partial(_emit_kernel, w, b8, gr),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups8 * gr, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups8 * gr, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(wg, wmeta, r2d, s2d, srid2d)
+    out_rid = out_rid.reshape(-1)[:n_r]
+    out_cnt = out_cnt.reshape(-1)[:n_r]
+    ok = cover_ok & band_ok & jnp.all(out_cnt <= 1)
+    return out_rid, out_cnt, ok
+
+
+# ---------------------------------------------------------------------------
 # Materialising probe (reference kernels.cu:199-246 `probe`,
 # 314-411 `probe_match_rate`): emits (r_rid, s_rid) pairs.
 # ---------------------------------------------------------------------------

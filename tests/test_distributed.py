@@ -159,6 +159,19 @@ def test_distributed_join_banded_local_probe(mesh8):
     assert total_distributed_matches(res) == n
 
 
+def test_distributed_join_diagonal_local_probe(mesh8):
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    r = gen.fill_unique(n, jax.random.key(24))
+    s = gen.fill_unique(n, jax.random.key(25))
+    run = make_distributed_join(mesh8, per, per, CFG,
+                                local_probe="diagonal")
+    res = run(r, s)
+    assert np.asarray(res.ok).all()
+    assert total_distributed_matches(res) == n
+
+
 def test_distributed_join_rows(mesh8):
     n_dev = 8
     per = 1024

@@ -286,3 +286,42 @@ def test_pipeline_filter_join_aggregate():
     gs = np.asarray(res.group_sums)[np.asarray(res.group_valid)]
     assert sorted(gk.tolist()) == list(range(100))
     assert np.all(gs == 2)
+
+
+def test_pipeline_fast_and_fallback_agree():
+    from radixjoin_tpu.engine.pipeline import _fja_fast, _fja_reference
+    n = 1 << 12
+    r = gen.fill_unique(n, jax.random.key(16))
+    s = gen.fill_modulo(n * 2, jax.random.key(17), n)
+    pred = lambda k, rid: k < jnp.uint32(100)
+    value_of = lambda rr, sr: (rr % 7 + sr % 5).astype(jnp.int32)
+    fast, ok = _fja_fast(r, s, pred, None, 256, value_of)
+    assert bool(ok)
+    ref = _fja_reference(r, s, pred, None, 4 * n, 256, value_of)
+    for a, b in ((fast, ref),):
+        ga = {int(k): int(v) for k, v, m in zip(
+            np.asarray(a.group_keys), np.asarray(a.group_sums),
+            np.asarray(a.group_valid)) if m}
+        gb = {int(k): int(v) for k, v, m in zip(
+            np.asarray(b.group_keys), np.asarray(b.group_sums),
+            np.asarray(b.group_valid)) if m}
+        assert ga == gb
+    assert int(fast.join_count) == int(ref.join_count)
+
+
+def test_pipeline_multimatch_falls_back():
+    # dim side (r) carries duplicate join keys -> fact rows match 2 dims;
+    # the wrapper must detect ok=False and produce the reference result
+    n = 1 << 10
+    rk = np.concatenate([np.arange(n // 2, dtype=np.uint32),
+                         np.arange(n // 2, dtype=np.uint32)])
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = gen.fill_modulo(n, jax.random.key(18), n // 2)
+    res = filter_join_aggregate(r, s, None, None, max_out=8 * n,
+                                max_groups=1024)
+    # every s key < n/2 matches exactly 2 r rows
+    assert int(res.join_count) == 2 * n
+    gs = np.asarray(res.group_sums)[np.asarray(res.group_valid)]
+    assert int(res.n_groups) == n // 2
+    assert np.all(np.sort(gs) == np.sort(
+        np.asarray(jnp.bincount(s.keys % (n // 2), length=n // 2)) * 2))

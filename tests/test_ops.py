@@ -359,6 +359,51 @@ def test_probe_count_diagonal_fuzz_ok_implies_exact():
     assert n_ok >= 6   # the check must not be so conservative it never ok's
 
 
+def test_join_materialize_windowed():
+    # fact (R side of the kernel) has duplicate keys; dim (S side) unique:
+    # every fact element matches <= 1 dim row
+    rng = np.random.default_rng(35)
+    n_f, n_d = 4096, 1024
+    fk = rng.integers(0, 4000, n_f).astype(np.uint32)
+    dk = rng.permutation(4000)[:n_d].astype(np.uint32)
+    frid = np.arange(n_f, dtype=np.uint32)
+    drid = rng.permutation(n_d).astype(np.uint32)
+    fs, fr = jax.lax.sort((bp.bias_keys(jnp.asarray(fk)),
+                           jnp.asarray(frid)), num_keys=1)
+    ds, dr = jax.lax.sort((bp.bias_keys(jnp.asarray(dk), None, 0xFFFFFFFE),
+                           jnp.asarray(drid)), num_keys=1)
+    out_rid, cnt, ok = bp.join_materialize_windowed(fs, ds, dr,
+                                                    rows_per_group=8)
+    assert bool(ok)
+    # oracle: key -> dim rid
+    lut = {int(k): int(v) for k, v in zip(dk, drid)}
+    fs_keys = np.asarray(jax.lax.bitcast_convert_type(fs, jnp.uint32)
+                         ^ jnp.uint32(0x80000000))
+    cnt = np.asarray(cnt)
+    out_rid = np.asarray(out_rid)
+    for i in range(n_f):
+        k = int(fs_keys[i])
+        if k in lut:
+            assert cnt[i] == 1 and out_rid[i] == lut[k], i
+        else:
+            assert cnt[i] == 0, i
+
+
+def test_join_materialize_windowed_multimatch_flags():
+    # dim side with duplicate keys -> some fact elements match 2 rows
+    fk = np.arange(256, dtype=np.uint32)
+    dk = np.concatenate([np.arange(256, dtype=np.uint32),
+                         np.arange(256, dtype=np.uint32)])
+    fs = jnp.sort(bp.bias_keys(jnp.asarray(fk)))
+    ds, dr = jax.lax.sort(
+        (bp.bias_keys(jnp.asarray(dk), None, 0xFFFFFFFE),
+         jnp.arange(512, dtype=jnp.uint32)), num_keys=1)
+    out_rid, cnt, ok = bp.join_materialize_windowed(fs, ds, dr,
+                                                    rows_per_group=8)
+    assert not bool(ok)
+    assert int(jnp.sum(cnt)) == 512   # counts stay exact
+
+
 # -------------------------- sort / filter / aggregate --------------------------
 
 def test_sort_relation():
