@@ -596,7 +596,10 @@ def probe_count_diagonal(r_sorted: jnp.ndarray, s_sorted: jnp.ndarray,
         interpret = pallas_interpret()
     K = k_drift
     assert 1 <= K <= 120
-    gr = rows_per_group
+    # Mosaic allocates VMEM stack for the whole statically-unrolled group
+    # body (~ rows * shifts live temporaries); cap rows*K so large-K
+    # configs stay inside the 16 MB scoped-vmem limit.
+    gr = min(rows_per_group, max(_ROWS, (1024 // K) // _ROWS * _ROWS))
     assert gr % _ROWS == 0 and gr <= 120
     n_r = r_sorted.shape[0]
     n_s = s_sorted.shape[0]

@@ -71,5 +71,268 @@ def join64_count(r: Relation64, s: Relation64) -> jnp.ndarray:
     return jnp.sum(jnp.where(stag == 1, r_in_run, 0))
 
 
+# ---------------------------------------------------------------------------
+# Wide diagonal rank-band probe — the 64-bit fast path.
+#
+# The 32-bit diagonal kernel (ops/buildprobe.probe_count_diagonal) carried
+# to (hi, lo) plane pairs: both planes are biased int32, compared with
+# 64-bit lexicographic predicates built from signed int32 compares.  The
+# per-row window offset j0 uses the hi plane only (a *lower bound* on the
+# lexicographic rank — matches can never fall below the window, and any
+# slack from long hi-runs shows up as drift and trips the exact coverage
+# check).  Degenerate-hi workloads (few distinct hi words) therefore
+# escalate to the always-correct concat-sort join64_count.
+# ---------------------------------------------------------------------------
+
+import functools
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.backend import pallas_interpret
+from .buildprobe import bias_keys, _ROWS
+
+_SENT_HI = 0x7FFFFFFF          # biased hi of both padding sentinels
+_R_SENT_LO = 0x7FFFFFFF        # biased lo of the R padding sentinel
+_S_SENT_LO = 0x7FFFFFFE        # biased lo of the S padding sentinel
+# (64-bit key domain: [0, 2^64 - 16) — mirrors the 32-bit engine.)
+
+
+def _lt64(ah, al, bh, bl):
+    """(ah,al) < (bh,bl) lexicographic, as an int32 0/1 mask."""
+    return ((ah < bh).astype(jnp.int32)
+            + (ah == bh).astype(jnp.int32) * (al < bl).astype(jnp.int32))
+
+
+def _le64(ah, al, bh, bl):
+    return ((ah < bh).astype(jnp.int32)
+            + (ah == bh).astype(jnp.int32) * (al <= bl).astype(jnp.int32))
+
+
+def _probe_diag64_kernel(K, b8, gr, wg_ref, wmeta_ref, rh_ref, rl_ref,
+                         sh_ref, sl_ref, out_ref, scr_h, scr_l,
+                         sem_h, sem_l):
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    k = jax.lax.rem(g, _ROWS)
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def band_dma(gi, sl):
+        return (pltpu.make_async_copy(
+                    sh_ref.at[pl.ds(wg_ref[gi], b8), :], scr_h.at[sl],
+                    sem_h.at[sl]),
+                pltpu.make_async_copy(
+                    sl_ref.at[pl.ds(wg_ref[gi], b8), :], scr_l.at[sl],
+                    sem_l.at[sl]))
+
+    @pl.when(g == 0)
+    def _():
+        for c in band_dma(0, 0):
+            c.start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        for c in band_dma(g + 1, jax.lax.rem(g + 1, 2)):
+            c.start()
+
+    for c in band_dma(g, slot):
+        c.wait()
+
+    meta = wmeta_ref[pl.ds(k, 1), :]
+    lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+
+    cnt = jnp.zeros((1, 128), jnp.int32)
+    viol = jnp.zeros((1, 128), jnp.int32)
+    for i in range(gr):                                 # static unroll
+        e = meta[0, 1 + i]
+        base = e // 128
+        ksh = e - base * 128
+        sh_al = jax.lax.rem(128 - ksh, 128)
+        lane_lo = lanes2 < 128 - ksh
+
+        def realign(scr):
+            a = scr[slot, pl.ds(base, 2), :]
+            b = scr[slot, pl.ds(base + 1, 2), :]
+            return jnp.where(lane_lo, pltpu.roll(a, sh_al, axis=1),
+                             pltpu.roll(b, sh_al, axis=1))
+
+        swin_h = realign(scr_h)                         # (2,128)
+        swin_l = realign(scr_l)
+        s0h, s1h = swin_h[0:1, :], swin_h[1:2, :]
+        s0l, s1l = swin_l[0:1, :], swin_l[1:2, :]
+        rh = rh_ref[i:i + 1, :]
+        rl = rl_ref[i:i + 1, :]
+
+        acc = ((s0h == rh).astype(jnp.int32)
+               * (s0l == rl).astype(jnp.int32))
+        for sh in range(1, K + 1):
+            roh = pltpu.roll(rh, sh, axis=1)
+            rol = pltpu.roll(rl, sh, axis=1)
+            acc = acc + (s0h == roh).astype(jnp.int32) \
+                * (s0l == rol).astype(jnp.int32) \
+                + (s1h == roh).astype(jnp.int32) \
+                * (s1l == rol).astype(jnp.int32)
+        for sh in range(128 - K, 128):
+            roh = pltpu.roll(rh, sh, axis=1)
+            rol = pltpu.roll(rl, sh, axis=1)
+            acc = acc + (s0h == roh).astype(jnp.int32) \
+                * (s0l == rol).astype(jnp.int32)
+        cnt = cnt + acc
+
+        rvalid = 1 - ((rh == jnp.int32(_SENT_HI)).astype(jnp.int32)
+                      * (rl == jnp.int32(_R_SENT_LO)).astype(jnp.int32))
+        # s[l+K+1] (two-plane shifted reads, row 0/1 select by lane)
+        sel = lanes1 < 127 - K
+        hi_h = jnp.where(sel, pltpu.roll(s0h, 127 - K, axis=1),
+                         pltpu.roll(s1h, 127 - K, axis=1))
+        hi_l = jnp.where(sel, pltpu.roll(s0l, 127 - K, axis=1),
+                         pltpu.roll(s1l, 127 - K, axis=1))
+        viol = viol + _le64(hi_h, hi_l, rh, rl) * rvalid
+        lo_h = pltpu.roll(s0h, K + 1, axis=1)           # s[l-K-1]
+        lo_l = pltpu.roll(s0l, K + 1, axis=1)
+        v2 = (1 - _lt64(lo_h, lo_l, rh, rl)) * rvalid   # s >= r
+        viol = viol + jnp.where(lanes1 >= K + 1, v2, 0)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
+    out_ref[...] += jnp.where((iota_r == k) & (iota_l == 0), jnp.sum(cnt), 0) \
+        + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group",
+                                             "band_blocks", "interpret"))
+def probe_count_diagonal64(r_hi, r_lo, s_hi, s_lo,
+                           k_drift: int = 16,
+                           rows_per_group: int = 32,
+                           band_blocks: int | None = None,
+                           interpret: bool | None = None):
+    """Diagonal rank-band count join over lex-sorted biased (hi, lo) pairs.
+
+    Inputs come from ``jax.lax.sort((bias(hi), bias(lo)), num_keys=2)``.
+    Returns (total_i32, ok); ok False -> escalate to join64_count.
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    K = k_drift
+    assert 1 <= K <= 120
+    # Two key planes double the unrolled body's live temporaries; cap
+    # rows*K at half the 32-bit kernel's budget (see probe_count_diagonal).
+    gr = min(rows_per_group, max(_ROWS, (512 // K) // _ROWS * _ROWS))
+    assert gr % _ROWS == 0 and gr <= 120
+    n_r = r_hi.shape[0]
+    n_s = s_hi.shape[0]
+
+    if band_blocks is None:
+        span = (gr * 128 * n_s + n_r - 1) // n_r
+        band_blocks = (span + 1024 + 2 * K + 256) // 1024 + 1
+    b8 = band_blocks * _ROWS
+
+    gelems = gr * 128
+    n_r_pad = ((n_r + gelems - 1) // gelems) * gelems
+    rh, rl = r_hi, r_lo
+    if n_r_pad != n_r:
+        rh = jnp.concatenate(
+            [rh, jnp.full((n_r_pad - n_r,), jnp.int32(_SENT_HI))])
+        rl = jnp.concatenate(
+            [rl, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_LO))])
+    n_rows = n_r_pad // 128
+    n_groups = n_rows // gr
+
+    n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
+    sh_p = jnp.concatenate(
+        [s_hi, jnp.full((n_s_pad - n_s,), jnp.int32(_SENT_HI))])
+    sl_p = jnp.concatenate(
+        [s_lo, jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_LO))])
+    s2h = sh_p.reshape(-1, 128)
+    s2l = sl_p.reshape(-1, 128)
+    s_max_row = s2h.shape[0] - b8
+
+    # hi-plane lower bound of each row head's lexicographic S rank
+    heads_h = rh[::128]
+    heads_l = rl[::128]
+    j0 = jnp.searchsorted(s_hi, heads_h, side="left").astype(jnp.int32)
+    j0g = j0.reshape(n_groups, gr)
+    wg = jnp.clip(j0g[:, 0] // 128, 0, s_max_row)
+    e = j0g - wg[:, None] * 128
+    e_cap = (b8 - 3) * 128
+    row_valid = ((heads_h != jnp.int32(_SENT_HI))
+                 | (heads_l != jnp.int32(_R_SENT_LO))
+                 ).reshape(n_groups, gr)
+    ok_band = jnp.all(jnp.where(row_valid, (e >= 0) & (e <= e_cap), True))
+    e = jnp.clip(e, 0, e_cap)
+
+    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
+    if n_groups8 != n_groups:
+        pad = n_groups8 - n_groups
+        wg = jnp.concatenate([wg, jnp.zeros((pad,), jnp.int32)])
+        e = jnp.concatenate([e, jnp.zeros((pad, gr), jnp.int32)])
+        rh = jnp.concatenate(
+            [rh, jnp.full((pad * gelems,), jnp.int32(_SENT_HI))])
+        rl = jnp.concatenate(
+            [rl, jnp.full((pad * gelems,), jnp.int32(_R_SENT_LO))])
+    r2h = rh.reshape(-1, 128)
+    r2l = rl.reshape(-1, 128)
+
+    wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
+    wmeta = wmeta.at[:, 1:1 + gr].set(e.reshape(n_groups8, gr))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups8,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    per_group = pl.pallas_call(
+        functools.partial(_probe_diag64_kernel, K, b8, gr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
+        interpret=interpret,
+    )(wg, wmeta, r2h, r2l, s2h, s2l)
+    matches = jnp.sum(per_group[:, 0])
+    ok = (jnp.sum(per_group[:, 1]) == 0) & ok_band
+    return matches, ok
+
+
+@functools.partial(jax.jit, static_argnames=("k_drift",))
+def _join64_diag(r: Relation64, s: Relation64, k_drift: int = 16):
+    rh, rl = jax.lax.sort((bias_keys(r.key_hi), bias_keys(r.key_lo)),
+                          num_keys=2)
+    sh_, sl_ = jax.lax.sort(
+        (bias_keys(s.key_hi, None, 0xFFFFFFFF),
+         bias_keys(s.key_lo, None, 0xFFFFFFFE)), num_keys=2)
+    return probe_count_diagonal64(rh, rl, sh_, sl_, k_drift=k_drift)
+
+
+def join64_count_fast(r: Relation64, s: Relation64,
+                      k_drift: int = 16) -> int:
+    """64-bit count join: diagonal fast path with escalation to the
+    concat-sort join64_count on drift/band/degenerate-hi violations."""
+    matches, ok = _join64_diag(r, s, k_drift)
+    if bool(ok):
+        return int(matches)
+    return int(join64_count(r, s))
+
+
 def join64_count_checked(r: Relation64, s: Relation64) -> int:
     return int(join64_count(r, s))
