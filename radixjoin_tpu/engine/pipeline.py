@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation
-from ..ops.aggregate import aggregate_sum
+from ..ops.aggregate import aggregate_sum, aggregate_sum_sorted
 from ..ops.buildprobe import (bias_keys, join_materialize,
                               join_materialize_windowed)
 from ..ops.filter import filter_mask
@@ -87,16 +87,18 @@ def _fja_fast(r: Relation, s: Relation, r_pred, s_pred, max_groups: int,
     total = jnp.sum(cnt)
     out_key = jax.lax.bitcast_convert_type(fk, jnp.uint32) \
         ^ jnp.uint32(0x80000000)
-    gk_in = jnp.where(valid, out_key, jnp.uint32(0xFFFFFFFF))
     if value_of is None:
         values = valid.astype(jnp.int32)
     else:
         values = jnp.where(valid,
                            value_of(out_drid.astype(jnp.uint32), frid), 0)
-    gk, gs, gvalid, _ = aggregate_sum(gk_in, values, max_groups)
-    real = gvalid & (gk != jnp.uint32(0xFFFFFFFF))
-    return PipelineResult(gk, gs, real, jnp.sum(real.astype(jnp.int32)),
-                          total), ok
+    # The emit kernel's output is already in sorted-key order: aggregate
+    # over runs directly (no re-sort), skipping unmatched rows so they
+    # can't flood max_groups.
+    gk, gs, gvalid, _ = aggregate_sum_sorted(out_key, values, valid,
+                                             max_groups)
+    return PipelineResult(gk, gs, gvalid,
+                          jnp.sum(gvalid.astype(jnp.int32)), total), ok
 
 
 @functools.partial(jax.jit, static_argnames=("r_pred", "s_pred", "max_out",

@@ -54,3 +54,45 @@ def aggregate_count(keys: jnp.ndarray, max_groups: int):
     """Group-by-key count (values = 1)."""
     ones = jnp.ones_like(keys, dtype=jnp.int32)
     return aggregate_sum(keys, ones, max_groups)
+
+
+def aggregate_sum_sorted(sorted_keys: jnp.ndarray, values: jnp.ndarray,
+                         mask: jnp.ndarray, max_groups: int):
+    """Group-by over **already key-sorted** data, skipping masked-out rows.
+
+    The sort-free fast path for pipelines whose join output is emitted in
+    sorted-key order (ops/buildprobe.join_materialize_windowed).
+    PRECONDITION: ``mask`` must be constant within each equal-key run —
+    true by construction for join-match masks (every row of a key matches
+    the same dim rows) — so a masked group start reduces to a shifted-
+    neighbour compare, no segmented scan.  Groups whose rows are masked
+    out produce no output slot (unmatched keys can't flood ``max_groups``).
+
+    Returns (group_keys, group_sums, valid, n_groups) like aggregate_sum.
+    """
+    n = sorted_keys.shape[0]
+    m = mask.astype(jnp.int32)
+    prev_mask = jnp.concatenate([jnp.zeros((1,), jnp.int32), m[:-1]])
+    prev_key = jnp.concatenate([sorted_keys[:1], sorted_keys[:-1]])
+    is_start = (m == 1) & ((prev_mask == 0) | (sorted_keys != prev_key))
+    is_start = is_start.at[0].set(mask[0])
+    cstart = jnp.cumsum(is_start.astype(jnp.int32))    # starts <= i
+    n_groups = cstart[-1]
+
+    vals = jnp.where(mask, values, 0)
+    csum = jnp.cumsum(vals.astype(
+        jnp.int32 if jnp.issubdtype(vals.dtype, jnp.integer)
+        else jnp.float32))
+
+    gslot = jnp.arange(max_groups, dtype=jnp.int32)
+    starts = jnp.searchsorted(cstart, gslot + 1, side="left"
+                              ).astype(jnp.int32)
+    ends = jnp.searchsorted(cstart, gslot + 2, side="left").astype(jnp.int32)
+    valid = gslot < n_groups
+    starts_c = jnp.clip(starts, 0, n - 1)
+    ends_c = jnp.clip(ends - 1, 0, n - 1)
+    hi = csum[ends_c]
+    lo = jnp.where(starts_c > 0, csum[starts_c - 1], 0)
+    sums = jnp.where(valid, hi - lo, 0)
+    gkeys = jnp.where(valid, sorted_keys[starts_c], 0)
+    return gkeys, sums, valid, n_groups

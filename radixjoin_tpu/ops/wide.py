@@ -45,30 +45,30 @@ def make_relation64(keys64, rids) -> Relation64:
 @jax.jit
 def join64_count(r: Relation64, s: Relation64) -> jnp.ndarray:
     """Exact match count over 64-bit keys. int32 result (chunk upstream for
-    larger totals, as with the 32-bit engine)."""
+    larger totals, as with the 32-bit engine).
+
+    Gather-free: the side tag rides as a third sort key, so within every
+    equal-key run all R rows precede all S rows; each S element then
+    contributes (R-count before it) - (R-count before its run), and the
+    run baseline propagates by a running max of run-start prefix counts
+    (monotone, so max-scan is exact) — scans and sums only, no
+    data-dependent gathers (XLA:TPU gathers at 10^7+ elements are the
+    slowest op class in this engine)."""
     n_r = r.size
     hi = jnp.concatenate([r.key_hi, s.key_hi])
     lo = jnp.concatenate([r.key_lo, s.key_lo])
     side = jnp.concatenate([jnp.zeros((n_r,), jnp.int32),
                             jnp.ones((s.size,), jnp.int32)])
-    shi, slo, stag = jax.lax.sort((hi, lo, side), num_keys=2,
+    shi, slo, stag = jax.lax.sort((hi, lo, side), num_keys=3,
                                   is_stable=False)
-    n = shi.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
     change = jnp.concatenate([
         jnp.ones((1,), bool),
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
-    # start index of each element's run: running max of change positions.
-    start = jax.lax.associative_scan(jnp.maximum,
-                                     jnp.where(change, idx, 0))
-    # end index: running min of next-change positions, scanned in reverse.
-    next_start = jnp.concatenate([change[1:], jnp.ones((1,), bool)])
-    end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(next_start, idx, n - 1), reverse=True)
-    cum_r = jnp.cumsum((stag == 0).astype(jnp.int32))
-    # R tuples inside [start, end]: cum_r[end] - cum_r[start-1]
-    r_in_run = cum_r[end] - jnp.where(start > 0, cum_r[start - 1], 0)
-    return jnp.sum(jnp.where(stag == 1, r_in_run, 0))
+    cum_r = jnp.cumsum((stag == 0).astype(jnp.int32))     # R rows <= i
+    cum_r_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_r[:-1]])
+    base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(change, cum_r_prev, 0))    # R rows < run
+    return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
 
 
 # ---------------------------------------------------------------------------

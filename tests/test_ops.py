@@ -472,6 +472,33 @@ def test_aggregate_sum():
     assert int(ng) == len(want)
 
 
+def test_aggregate_sum_sorted_masked():
+    rng = np.random.default_rng(16)
+    keys = np.sort(rng.integers(0, 60, 4000).astype(np.uint32))
+    vals = rng.integers(0, 100, 4000).astype(np.int32)
+    # mask constant per key run (the function's precondition — join-match
+    # masks have this form: all rows of a key match, or none do)
+    keep_key = rng.random(60) < 0.6
+    mask = keep_key[keys]
+    gk, gs, valid, ng = agg.aggregate_sum_sorted(
+        jnp.asarray(keys), jnp.asarray(vals), jnp.asarray(mask), 128)
+    got = {int(k): int(v) for k, v, ok in
+           zip(np.asarray(gk), np.asarray(gs), np.asarray(valid)) if ok}
+    want = {}
+    for k, v, m in zip(keys, vals, mask):
+        if m:
+            want[int(k)] = want.get(int(k), 0) + int(v)
+    assert got == want
+    assert int(ng) == len(want)
+    # fully-masked groups must not occupy slots even with tight max_groups
+    gk2, gs2, valid2, ng2 = agg.aggregate_sum_sorted(
+        jnp.asarray(keys), jnp.asarray(vals), jnp.asarray(mask),
+        max(1, len(want)))
+    got2 = {int(k): int(v) for k, v, ok in
+            zip(np.asarray(gk2), np.asarray(gs2), np.asarray(valid2)) if ok}
+    assert got2 == want
+
+
 # -------------------------- skew --------------------------
 
 def test_heavy_hitters_detection_and_count():
