@@ -12,9 +12,11 @@ Modes (reference compile-time forks become runtime strategy choices):
                        Pallas probe (the fast path for near-uniform data)
   - ``partitioned``  — radix partition + tiered padded Pallas probe
                        (GPUWrapper/simple_hash_join_eth path, eth.cu:111-234)
+  - ``mergecount``   — one concat-sort of R++S + run-product scans
+                       (always-correct, gather-free; the terminal fallback)
   - ``sortmerge``    — global key-sort + vectorised binary-search count
-                       (always-correct fallback; also the materialising path)
-``join_count_checked`` chains the escalations banded -> tiered -> sortmerge;
+                       (always-correct; shares code with the materialising path)
+``join_count_checked`` chains the escalations banded -> tiered -> mergecount;
 ``skew_aware=True`` adds the heavy-key pre-pass to any mode.
 """
 
@@ -30,9 +32,10 @@ import numpy as np
 from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation
 from ..ops import skew as skew_ops
-from ..ops.buildprobe import (probe_count_sorted, probe_count_tiered,
-                              probe_count_banded, probe_count_diagonal,
-                              bias_keys, join_materialize)
+from ..ops.buildprobe import (probe_count_sorted, probe_count_merged,
+                              probe_count_tiered, probe_count_banded,
+                              probe_count_diagonal, bias_keys,
+                              join_materialize)
 from ..ops.partition import (partition_relation, partition_keys_rotated,
                              rotate_for_partition)
 from ..ops.sort import sort_relation
@@ -148,6 +151,19 @@ def join_count(r: Relation, s: Relation,
         drop_s = hmask_s if drop_s is None else (drop_s | hmask_s)
         heavy_cr, heavy_cs = skew_ops.heavy_match_count(rk_eff, sk_eff, hh)
 
+    if mode == "mergecount":
+        # Always-exact concat-sort count (probe_count_merged): one sort of
+        # |R|+|S|, no probe, no windows, arbitrary skew.  Placed after the
+        # skew pre-pass so heavy keys (whose products need 64-bit) are
+        # dropped here and multiplied host-side.  This is the terminal
+        # escalation rung — ~3-5x cheaper than the searchsorted sortmerge.
+        rk = r.keys if drop_r is None else \
+            jnp.where(drop_r, jnp.uint32(0xFFFFFFFF), r.keys)
+        sk = s.keys if drop_s is None else \
+            jnp.where(drop_s, jnp.uint32(0xFFFFFFFE), s.keys)
+        return JoinResult(probe_count_merged(rk, sk), heavy_cr, heavy_cs,
+                          jnp.bool_(True))
+
     if mode == "diagonal":
         # Fastest count path for locally balanced sides: full key sort of
         # both relations (biased int32, order-preserving), then the
@@ -205,16 +221,18 @@ def join_count_checked(r: Relation, s: Relation,
                if k in ("r_valid_count", "s_valid_count", "shift")}
         mode = kw.get("mode", "partitioned")
         skew = kw.get("skew_aware", False)
-        # Escalation ladder: diagonal -> banded -> tiered -> sortmerge.
+        # Escalation ladder: diagonal -> banded -> tiered -> mergecount.
         # Each rung widens the probe's coverage (rank-diagonal band ->
-        # partition windows -> padded capacity tiers -> full sort-merge).
+        # partition windows -> padded capacity tiers); the terminal rung
+        # is the unconditional concat-sort count (skew-aware so heavy-key
+        # products are aggregated host-side in 64-bit).
         ladder = {"diagonal": ("banded", "partitioned"),
                   "banded": ("partitioned",)}
         for nxt in ladder.get(mode, ()):
             res = join_count(r, s, cfg, mode=nxt, skew_aware=skew, **kw2)
             if bool(res.ok):
                 return total_matches(res)
-        res = join_count(r, s, cfg, mode="sortmerge", **kw2)
+        res = join_count(r, s, cfg, mode="mergecount", skew_aware=True, **kw2)
     return total_matches(res)
 
 

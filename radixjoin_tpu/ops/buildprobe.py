@@ -66,6 +66,37 @@ def probe_count_reference(r_keys: jnp.ndarray, s_keys: jnp.ndarray
     return probe_count_sorted(jnp.sort(r_keys), s_keys)
 
 
+def probe_count_merged(r_keys: jnp.ndarray, s_keys: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Gather-free exact count via one concat-sort (any skew, any dups).
+
+    Sort [R ++ S] by (key, side); within every equal-key run all R rows
+    precede all S rows, so each S element contributes (R rows before it)
+    minus (R rows before its run) and the run baseline propagates with a
+    monotone max-scan — sums and scans only.  This is the 32-bit version
+    of ops/wide.join64_count and replaces the searchsorted fallback
+    (probe_count_sorted) on the escalation ladder: XLA:TPU searchsorted
+    lowers to ~log2(N) gather rounds, the slowest op class on this chip
+    (BENCH_NOTES.md), while this path costs one lax.sort of |R|+|S|.
+
+    Plays the role of the reference's always-correct CPU BuildProbe
+    (tasks/BuildProbe.cpp:47-118) as the last escalation rung.  int32
+    result — same contract as the other count probes (partition upstream
+    or use skew_aware so heavy-key products stay host-side in 64-bit).
+    """
+    n_r = r_keys.shape[0]
+    keys = jnp.concatenate([r_keys, s_keys])
+    tag = jnp.concatenate([jnp.zeros((n_r,), jnp.int32),
+                           jnp.ones((s_keys.shape[0],), jnp.int32)])
+    skeys, stag = jax.lax.sort((keys, tag), num_keys=2, is_stable=False)
+    change = jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+    cum_r = jnp.cumsum(1 - stag)                       # R rows <= i
+    cum_r_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_r[:-1]])
+    base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(change, cum_r_prev, 0))  # R rows < run start
+    return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
+
+
 # ---------------------------------------------------------------------------
 # Pallas tiled broadcast-compare probe over padded partitions
 # ---------------------------------------------------------------------------

@@ -64,6 +64,46 @@ def test_sortmerge_mode_agrees():
     assert b == want
 
 
+def test_mergecount_mode_agrees():
+    rng = np.random.default_rng(60)
+    r = make_relation(rng.integers(0, 3000, 7000, dtype=np.uint32),
+                      np.arange(7000, dtype=np.uint32))
+    s = make_relation(rng.integers(0, 3000, 5000, dtype=np.uint32),
+                      np.arange(5000, dtype=np.uint32))
+    want = _np_join_count(np.asarray(r.keys), np.asarray(s.keys))
+    res = join_count(r, s, CFG, mode="mergecount")
+    assert bool(res.ok)
+    assert total_matches(res) == want
+
+
+def test_mergecount_skew_aware_and_padding():
+    # Heavy keys + padded suffixes: drops must map to side-distinct
+    # sentinels so padding never matches, and heavy products aggregate
+    # host-side in 64-bit.
+    rng = np.random.default_rng(61)
+    n = 1 << 13
+    rk = rng.integers(0, 500, n, dtype=np.uint32)
+    sk = rng.integers(0, 500, n, dtype=np.uint32)
+    rk[: n // 4] = 7      # heavy on both sides
+    sk[: n // 2] = 7
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    valid_r, valid_s = n - 100, n - 300
+    want = _np_join_count(rk[:valid_r], sk[:valid_s])
+    res = join_count(r, s, CFG, mode="mergecount", skew_aware=True,
+                     r_valid_count=jnp.int32(valid_r),
+                     s_valid_count=jnp.int32(valid_s))
+    assert total_matches(res) == want
+
+
+def test_mergecount_empty_sides():
+    r = make_relation(np.arange(64, dtype=np.uint32),
+                      np.arange(64, dtype=np.uint32))
+    empty = make_relation(np.zeros((0,), np.uint32), np.zeros((0,), np.uint32))
+    assert total_matches(join_count(r, empty, CFG, mode="mergecount")) == 0
+    assert total_matches(join_count(empty, r, CFG, mode="mergecount")) == 0
+
+
 def test_skew_aware_zipf():
     n = 1 << 14
     r = gen.fill_unique(n, jax.random.key(7))
