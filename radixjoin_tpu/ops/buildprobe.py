@@ -92,8 +92,11 @@ def probe_count_merged(r_keys: jnp.ndarray, s_keys: jnp.ndarray
     change = jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
     cum_r = jnp.cumsum(1 - stag)                       # R rows <= i
     cum_r_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_r[:-1]])
-    base = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(change, cum_r_prev, 0))  # R rows < run start
+    # cummax (not associative_scan): lax.cummax lowers to one fused
+    # reduce-window; associative_scan unrolls a ~25-level slice/concat tree
+    # that ballooned TPU compile time at 16M+ elements.
+    base = jax.lax.cummax(jnp.where(change, cum_r_prev, 0),
+                          axis=0)                       # R rows < run start
     return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
 
 

@@ -66,8 +66,11 @@ def join64_count(r: Relation64, s: Relation64) -> jnp.ndarray:
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     cum_r = jnp.cumsum((stag == 0).astype(jnp.int32))     # R rows <= i
     cum_r_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_r[:-1]])
-    base = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(change, cum_r_prev, 0))    # R rows < run
+    # cummax, not associative_scan: lax.cummax lowers to one fused
+    # reduce-window; associative_scan's slice/concat log-tree ballooned
+    # TPU compile time at 16M+ elements (see buildprobe.probe_count_merged).
+    base = jax.lax.cummax(jnp.where(change, cum_r_prev, 0),
+                          axis=0)                         # R rows < run
     return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
 
 
