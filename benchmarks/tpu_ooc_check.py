@@ -1,6 +1,16 @@
-"""Out-of-core 64M x 64M join through the chip: correctness + wall time.
-Run detached; prior measurement (serial, key+rid spill): 113 s."""
+"""Out-of-core join through the chip: correctness + wall time.
 
+Usage: python -m benchmarks.tpu_ooc_check [--logn 26] [--coarse-bits 3]
+                                          [--chunk-log 23]
+
+Streams two host-resident unique-key relations through the device
+(engine/outofcore.py Grace-style spill, keys-only + double-buffered) and
+checks the dense-unique oracle (matches == n).  Run detached; prior
+measurements: 64M x 64M in 75 s (serial key+rid spill was 113 s);
+1B x 1B is the BASELINE.json north-star scale.
+"""
+
+import argparse
 import time
 import numpy as np
 import jax
@@ -11,17 +21,29 @@ from radixjoin_tpu import native
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logn", type=int, default=26,
+                    help="log2 tuples per relation")
+    ap.add_argument("--coarse-bits", type=int, default=3,
+                    help="pass-1 fanout; largest R_p+S_p pair must fit HBM")
+    ap.add_argument("--chunk-log", type=int, default=23,
+                    help="log2 tuples per pass-1 device chunk")
+    args = ap.parse_args()
+
     assert jax.default_backend() == "tpu"
-    n = 1 << 26
+    n = 1 << args.logn
+    t0 = time.perf_counter()
     rk, rr = native.fill_unique(n, 0, seed=40)
     sk, sr = native.fill_unique(n, 0, seed=41)
+    print(f"generated 2x{n} in {time.perf_counter() - t0:.1f} s", flush=True)
     cfg = JoinConfig(use_pallas=True)
     t0 = time.perf_counter()
-    got = join_count_outofcore(rk, rr, sk, sr, cfg, coarse_bits=3,
-                               chunk=1 << 23)
+    got = join_count_outofcore(rk, rr, sk, sr, cfg,
+                               coarse_bits=args.coarse_bits,
+                               chunk=1 << args.chunk_log)
     dt = time.perf_counter() - t0
-    print(f"outofcore {n}x{n}: {got} matches (want {n}) in {dt:.1f} s",
-          flush=True)
+    print(f"outofcore {n}x{n}: {got} matches (want {n}) in {dt:.1f} s "
+          f"({2 * n / dt / 1e6:.1f} Mt/s)", flush=True)
     assert got == n
 
 

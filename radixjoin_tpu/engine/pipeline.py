@@ -10,8 +10,10 @@ Two execution strategies:
   - **fast** (default attempt): sort both filtered sides and run the
     Pallas windowed emit kernel (ops/buildprobe.join_materialize_windowed)
     — scatter-free materialisation with a dense per-fact-row output, no
-    static output bound.  Valid whenever each fact row matches at most one
-    dim row (the dominant analytics shape); anything else flips ok.
+    static output bound.  Counting aggregations hold under any match rate
+    (the kernel's per-row counts are exact); payload aggregations
+    (``value_of``) additionally need each fact row to match at most one
+    dim row (the dominant analytics shape) — anything else flips ok.
   - **reference fallback**: the XLA searchsorted/gather materialisation
     with a static ``max_out`` bound (join_materialize) — always correct,
     gather-bound.
@@ -80,18 +82,28 @@ def _fja_fast(r: Relation, s: Relation, r_pred, s_pred, max_groups: int,
     # Interpret mode (CPU tests) traces the unrolled kernel body per grid
     # step; a smaller group keeps compile time sane.
     gr = 8 if pallas_interpret() else 32
-    out_drid, cnt, ok = join_materialize_windowed(fk, dk, drid,
-                                                  rows_per_group=gr)
+    out_drid, cnt, win_ok, multi = join_materialize_windowed(
+        fk, dk, drid, rows_per_group=gr)
 
-    valid = cnt == 1
     total = jnp.sum(cnt)
     out_key = jax.lax.bitcast_convert_type(fk, jnp.uint32) \
         ^ jnp.uint32(0x80000000)
     if value_of is None:
-        values = valid.astype(jnp.int32)
+        # Counting aggregation: the kernel's per-fact-row counts are exact
+        # under ANY match rate (multi-match dim keys included), so the
+        # fast path holds whenever the windows covered — no gather
+        # fallback needed (cf. the reference's probe_match_rate multi-round
+        # protocol, kernels.cu:376-403, which this sidesteps entirely).
+        valid = cnt > 0
+        values = cnt
+        ok = win_ok
     else:
+        # Payload aggregation reads the emitted dim rid, which is a
+        # rid-sum where cnt > 1 — only the unique-match shape is safe.
+        valid = cnt == 1
         values = jnp.where(valid,
                            value_of(out_drid.astype(jnp.uint32), frid), 0)
+        ok = win_ok & ~multi
     # The emit kernel's output is already in sorted-key order: aggregate
     # over runs directly (no re-sort), skipping unmatched rows so they
     # can't flood max_groups.
@@ -133,9 +145,9 @@ def filter_join_aggregate(r: Relation, s: Relation,
        WHERE r_pred(r) AND s_pred(s) GROUP BY join key.
 
     - ``value_of(r_rid, s_rid) -> value`` defaults to counting (value 1).
-    - Tries the Pallas fast path first; on ok=False (a fact row matched
-      more than one dim row, or window overflow) reruns via the reference
-      materialisation bounded by ``max_out``.
+    - Tries the Pallas fast path first; on ok=False (window overflow, or —
+      for payload aggregations only — a fact row matched more than one dim
+      row) reruns via the reference materialisation bounded by ``max_out``.
     """
     res, ok = _fja_fast(r, s, r_pred, s_pred, max_groups, value_of)
     if bool(ok):

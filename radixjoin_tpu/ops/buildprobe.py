@@ -798,10 +798,13 @@ def probe_count_tiered(r_part: PartitionedRelation,
 # kernels.cu:236-243).
 #
 # Match rate: exact counts always; emitted rids are valid where
-# count == 1.  Any element with count > 1 flips ``ok`` and callers fall
-# back to join_materialize (the reference's overflow-retry protocol,
-# kernels.cu:376-403).  The dominant analytics shape — fact joins dim on
-# a key unique on the dim side — is entirely count <= 1.
+# count == 1.  Window coverage (``win_ok``) and multi-match presence
+# (``multi``) are reported separately: counts stay exact under any match
+# rate, so counting consumers only need win_ok, while rid consumers fall
+# back to join_materialize when multi is set (the reference's
+# overflow-retry protocol, kernels.cu:376-403).  The dominant analytics
+# shape — fact joins dim on a key unique on the dim side — is entirely
+# count <= 1.
 # ---------------------------------------------------------------------------
 
 
@@ -869,12 +872,15 @@ def join_materialize_windowed(r_sorted: jnp.ndarray,
     """Materialising equi-join over key-sorted relations (biased int32 keys
     from :func:`bias_keys`, int32 rids co-sorted with the keys).
 
-    Returns (s_rid_i32[n_r], count_i32[n_r], ok) aligned to the sorted R
-    order: element i of R matched ``count[i]`` S rows; where count == 1,
-    ``s_rid[i]`` is its partner's rid (R's own rid for slot i is simply the
-    co-sorted R rid array).  ``ok`` False when any count > 1 (emitted rids
-    would be rid-sums) or any row's S window exceeded ``window_rows`` rows
-    / the DMA band — fall back to join_materialize.
+    Returns (s_rid_i32[n_r], count_i32[n_r], win_ok, multi) aligned to the
+    sorted R order: element i of R matched ``count[i]`` S rows; where
+    count == 1, ``s_rid[i]`` is its partner's rid (R's own rid for slot i
+    is simply the co-sorted R rid array).  ``win_ok`` False when any row's
+    S window exceeded ``window_rows`` rows / the DMA band — counts are then
+    unreliable, fall back to join_materialize.  ``multi`` True when some
+    count > 1: counts remain exact, but those elements' emitted rids are
+    rid-sums — rid consumers must fall back; counting consumers may
+    proceed on win_ok alone.
     """
     if interpret is None:
         interpret = pallas_interpret()
@@ -969,8 +975,9 @@ def join_materialize_windowed(r_sorted: jnp.ndarray,
     )(wg, wmeta, r2d, s2d, srid2d)
     out_rid = out_rid.reshape(-1)[:n_r]
     out_cnt = out_cnt.reshape(-1)[:n_r]
-    ok = cover_ok & band_ok & jnp.all(out_cnt <= 1)
-    return out_rid, out_cnt, ok
+    win_ok = cover_ok & band_ok
+    multi = jnp.any(out_cnt > 1)
+    return out_rid, out_cnt, win_ok, multi
 
 
 # ---------------------------------------------------------------------------

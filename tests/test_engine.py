@@ -349,14 +349,18 @@ def test_pipeline_fast_and_fallback_agree():
     assert int(fast.join_count) == int(ref.join_count)
 
 
-def test_pipeline_multimatch_falls_back():
-    # dim side (r) carries duplicate join keys -> fact rows match 2 dims;
-    # the wrapper must detect ok=False and produce the reference result
+def test_pipeline_multimatch_counting_stays_fast():
+    # dim side (r) carries duplicate join keys -> fact rows match 2 dims.
+    # Counting aggregations stay on the Pallas fast path (per-row counts
+    # are exact under any match rate) and must equal the reference result.
     n = 1 << 10
     rk = np.concatenate([np.arange(n // 2, dtype=np.uint32),
                          np.arange(n // 2, dtype=np.uint32)])
     r = make_relation(rk, np.arange(n, dtype=np.uint32))
     s = gen.fill_modulo(n, jax.random.key(18), n // 2)
+    from radixjoin_tpu.engine.pipeline import _fja_fast
+    fast, ok = _fja_fast(r, s, None, None, 1024, None)
+    assert bool(ok)          # multi-match no longer forces the fallback
     res = filter_join_aggregate(r, s, None, None, max_out=8 * n,
                                 max_groups=1024)
     # every s key < n/2 matches exactly 2 r rows
@@ -365,3 +369,28 @@ def test_pipeline_multimatch_falls_back():
     assert int(res.n_groups) == n // 2
     assert np.all(np.sort(gs) == np.sort(
         np.asarray(jnp.bincount(s.keys % (n // 2), length=n // 2)) * 2))
+
+
+def test_pipeline_multimatch_payload_falls_back():
+    # With a payload value_of, emitted rids are rid-sums where cnt > 1 —
+    # the fast path must flag ok=False and the wrapper must produce the
+    # reference result via the gather materialisation.
+    n = 1 << 10
+    rk = np.concatenate([np.arange(n // 2, dtype=np.uint32),
+                         np.arange(n // 2, dtype=np.uint32)])
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = gen.fill_modulo(n, jax.random.key(19), n // 2)
+    value_of = lambda rr, sr: (rr % 7 + sr % 5).astype(jnp.int32)
+    from radixjoin_tpu.engine.pipeline import _fja_fast, _fja_reference
+    _, ok = _fja_fast(r, s, None, None, 1024, value_of)
+    assert not bool(ok)
+    res = filter_join_aggregate(r, s, None, None, max_out=8 * n,
+                                max_groups=1024, value_of=value_of)
+    ref = _fja_reference(r, s, None, None, 8 * n, 1024, value_of)
+    ga = {int(k): int(v) for k, v, m in zip(
+        np.asarray(res.group_keys), np.asarray(res.group_sums),
+        np.asarray(res.group_valid)) if m}
+    gb = {int(k): int(v) for k, v, m in zip(
+        np.asarray(ref.group_keys), np.asarray(ref.group_sums),
+        np.asarray(ref.group_valid)) if m}
+    assert ga == gb and int(res.join_count) == int(ref.join_count)

@@ -372,9 +372,9 @@ def test_join_materialize_windowed():
                            jnp.asarray(frid)), num_keys=1)
     ds, dr = jax.lax.sort((bp.bias_keys(jnp.asarray(dk), None, 0xFFFFFFFE),
                            jnp.asarray(drid)), num_keys=1)
-    out_rid, cnt, ok = bp.join_materialize_windowed(fs, ds, dr,
-                                                    rows_per_group=8)
-    assert bool(ok)
+    out_rid, cnt, win_ok, multi = bp.join_materialize_windowed(
+        fs, ds, dr, rows_per_group=8)
+    assert bool(win_ok) and not bool(multi)
     # oracle: key -> dim rid
     lut = {int(k): int(v) for k, v in zip(dk, drid)}
     fs_keys = np.asarray(jax.lax.bitcast_convert_type(fs, jnp.uint32)
@@ -398,10 +398,11 @@ def test_join_materialize_windowed_multimatch_flags():
     ds, dr = jax.lax.sort(
         (bp.bias_keys(jnp.asarray(dk), None, 0xFFFFFFFE),
          jnp.arange(512, dtype=jnp.uint32)), num_keys=1)
-    out_rid, cnt, ok = bp.join_materialize_windowed(fs, ds, dr,
-                                                    rows_per_group=8)
-    assert not bool(ok)
+    out_rid, cnt, win_ok, multi = bp.join_materialize_windowed(
+        fs, ds, dr, rows_per_group=8)
+    assert bool(win_ok) and bool(multi)
     assert int(jnp.sum(cnt)) == 512   # counts stay exact
+    np.testing.assert_array_equal(np.asarray(cnt), np.full(256, 2))
 
 
 # -------------------------- sort / filter / aggregate --------------------------
