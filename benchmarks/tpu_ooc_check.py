@@ -27,7 +27,9 @@ def main():
     ap.add_argument("--coarse-bits", type=int, default=3,
                     help="pass-1 fanout; largest R_p+S_p pair must fit HBM")
     ap.add_argument("--chunk-log", type=int, default=23,
-                    help="log2 tuples per pass-1 device chunk")
+                    help="log2 tuples per pass-1 device chunk (device spill)")
+    ap.add_argument("--spill", default="host", choices=["host", "device"],
+                    help="pass-1 partitioner: native CPU or chunked device")
     args = ap.parse_args()
 
     assert jax.default_backend() == "tpu"
@@ -40,10 +42,11 @@ def main():
     t0 = time.perf_counter()
     got = join_count_outofcore(rk, rr, sk, sr, cfg,
                                coarse_bits=args.coarse_bits,
-                               chunk=1 << args.chunk_log)
+                               chunk=1 << args.chunk_log, spill=args.spill)
     dt = time.perf_counter() - t0
-    print(f"outofcore {n}x{n}: {got} matches (want {n}) in {dt:.1f} s "
-          f"({2 * n / dt / 1e6:.1f} Mt/s)", flush=True)
+    print(f"outofcore {n}x{n} (spill={args.spill}): {got} matches "
+          f"(want {n}) in {dt:.1f} s ({2 * n / dt / 1e6:.1f} Mt/s)",
+          flush=True)
     assert got == n
 
 

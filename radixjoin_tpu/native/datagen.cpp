@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -167,6 +168,174 @@ uint64_t join_count_oracle(const uint32_t *r_keys, uint64_t nr,
     }
   }
   return total;
+}
+
+// ---------------------------------------------------------------------------
+// Host radix partition — the reference's CPU partitioning phase
+// (tasks/NetworkPartitioning.cpp:116-173 / LocalPartitioning.cpp:138-250):
+// per-thread histogram, exclusive prefix into disjoint cursors (the
+// OffsetMap relativeWriteOffsets idea, histograms/OffsetMap.cpp:75-93,
+// with threads playing the role of ranks), then a scatter through 64-byte
+// per-partition write-combine buffers flushed with streaming stores —
+// the same software-WC design, minus the MPI window behind it.
+// Used by the out-of-core driver to spill host-resident relations into
+// coarse buckets without a device round-trip.  pid = key >> (32 - bits)
+// (top radix bits — matches ops/partition.partition_keys_rotated order).
+// ---------------------------------------------------------------------------
+
+static const int kWcLine = 16;  // uint32s per 64-byte cacheline buffer
+
+struct WcBuf {
+  uint32_t v[kWcLine];
+};
+
+void radix_partition_keys(const uint32_t *keys, uint64_t n, uint32_t bits,
+                          uint32_t *out, uint64_t *counts) {
+  const uint32_t P = 1u << bits;
+  const uint32_t shift = 32 - bits;
+  unsigned hw = std::thread::hardware_concurrency();
+  const unsigned T = n < (1u << 20) ? 1 : (hw > 4 ? 4 : (hw < 1 ? 1 : hw));
+  std::vector<uint64_t> hist(T * P, 0);
+  std::vector<uint64_t> bounds(T + 1);
+  for (unsigned t = 0; t <= T; t++) bounds[t] = n * t / T;
+
+  auto hist_worker = [&](unsigned t) {
+    uint64_t *h = &hist[t * P];
+    for (uint64_t i = bounds[t]; i < bounds[t + 1]; i++) h[keys[i] >> shift]++;
+  };
+  {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < T; t++) th.emplace_back(hist_worker, t);
+    hist_worker(0);
+    for (auto &x : th) x.join();
+  }
+
+  // counts[p] = total; cursor[t][p] = partition base + earlier threads'
+  // share (every write lands in a disjoint range — no synchronization,
+  // exactly the OffsetMap invariant).
+  std::vector<uint64_t> cursor(T * P);
+  uint64_t base = 0;
+  for (uint32_t p = 0; p < P; p++) {
+    counts[p] = 0;
+    for (unsigned t = 0; t < T; t++) {
+      cursor[t * P + p] = base + counts[p];
+      counts[p] += hist[t * P + p];
+    }
+    base += counts[p];
+  }
+
+  auto scatter_worker = [&](unsigned t) {
+    uint64_t *cur = &cursor[t * P];
+    std::vector<WcBuf> wc(P);
+    std::vector<uint8_t> fill(P, 0);
+    for (uint64_t i = bounds[t]; i < bounds[t + 1]; i++) {
+      const uint32_t k = keys[i];
+      const uint32_t p = k >> shift;
+      wc[p].v[fill[p]++] = k;
+      if (fill[p] == kWcLine) {
+        // Flush one cacheline. The cursor start of a partition is not
+        // 64B-aligned in general, so use plain stores (memcpy compiles to
+        // two 32B vector stores); the WC buffer still batches the random
+        // per-partition traffic into full-line writes.
+        memcpy(out + cur[p], wc[p].v, sizeof(WcBuf));
+        cur[p] += kWcLine;
+        fill[p] = 0;
+      }
+    }
+    for (uint32_t p = 0; p < P; p++) {  // tail flush (partial lines)
+      if (fill[p]) {
+        memcpy(out + cur[p], wc[p].v, fill[p] * sizeof(uint32_t));
+        cur[p] += fill[p];
+      }
+    }
+  };
+  {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < T; t++) th.emplace_back(scatter_worker, t);
+    scatter_worker(0);
+    for (auto &x : th) x.join();
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Host LSD radix sort: 4 passes of 8-bit stable counting scatter, built on
+// the same per-thread histogram + disjoint-cursor + WC-buffer machinery as
+// radix_partition_keys (a radix sort IS the reference's partitioning
+// applied recursively — LocalPartitioning's second pass taken to the
+// limit, tasks/LocalPartitioning.cpp:138-250).  Used by the out-of-core
+// driver so spill buckets arrive on the device fully sorted: the device
+// then skips both of its partition sorts (the in-HBM engine's dominant
+// cost) and the interconnect sees monotone streams.
+// ---------------------------------------------------------------------------
+
+static void radix_pass(const uint32_t *in, uint32_t *out, uint64_t n,
+                       uint32_t shift) {
+  const uint32_t P = 256;
+  unsigned hw = std::thread::hardware_concurrency();
+  const unsigned T = n < (1u << 20) ? 1 : (hw > 4 ? 4 : (hw < 1 ? 1 : hw));
+  std::vector<uint64_t> hist(T * P, 0);
+  std::vector<uint64_t> bounds(T + 1);
+  for (unsigned t = 0; t <= T; t++) bounds[t] = n * t / T;
+
+  auto hist_worker = [&](unsigned t) {
+    uint64_t *h = &hist[t * P];
+    for (uint64_t i = bounds[t]; i < bounds[t + 1]; i++)
+      h[(in[i] >> shift) & 0xFF]++;
+  };
+  {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < T; t++) th.emplace_back(hist_worker, t);
+    hist_worker(0);
+    for (auto &x : th) x.join();
+  }
+
+  std::vector<uint64_t> cursor(T * P);
+  uint64_t base = 0;
+  for (uint32_t p = 0; p < P; p++) {
+    for (unsigned t = 0; t < T; t++) {
+      cursor[t * P + p] = base;
+      base += hist[t * P + p];
+    }
+  }
+
+  // Stability: threads own ascending index ranges AND ascending cursor
+  // ranges per digit, and each thread scans sequentially — the global
+  // order of equal digits is preserved (LSD requirement).
+  auto scatter_worker = [&](unsigned t) {
+    uint64_t *cur = &cursor[t * P];
+    std::vector<WcBuf> wc(P);
+    std::vector<uint8_t> fill(P, 0);
+    for (uint64_t i = bounds[t]; i < bounds[t + 1]; i++) {
+      const uint32_t k = in[i];
+      const uint32_t p = (k >> shift) & 0xFF;
+      wc[p].v[fill[p]++] = k;
+      if (fill[p] == kWcLine) {
+        memcpy(out + cur[p], wc[p].v, sizeof(WcBuf));
+        cur[p] += kWcLine;
+        fill[p] = 0;
+      }
+    }
+    for (uint32_t p = 0; p < P; p++) {
+      if (fill[p]) {
+        memcpy(out + cur[p], wc[p].v, fill[p] * sizeof(uint32_t));
+        cur[p] += fill[p];
+      }
+    }
+  };
+  {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < T; t++) th.emplace_back(scatter_worker, t);
+    scatter_worker(0);
+    for (auto &x : th) x.join();
+  }
+}
+
+void radix_sort_keys(const uint32_t *keys, uint64_t n, uint32_t *out) {
+  std::vector<uint32_t> tmp(n);
+  radix_pass(keys, tmp.data(), n, 0);
+  radix_pass(tmp.data(), out, n, 8);
+  radix_pass(out, tmp.data(), n, 16);
+  radix_pass(tmp.data(), out, n, 24);
 }
 
 // ---------------------------------------------------------------------------

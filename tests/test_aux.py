@@ -70,6 +70,22 @@ def test_native_oracle_vs_numpy():
     assert native.join_count_oracle(r, s) == want
 
 
+def test_native_radix_partition_vs_numpy():
+    rng = np.random.default_rng(21)
+    for n, bits in ((5000, 2), (1 << 17, 4), ((1 << 20) + 77, 3)):
+        keys = rng.integers(0, 2**32 - 16, n, dtype=np.uint32)
+        out, counts = native.radix_partition_keys(keys, bits)
+        pid = keys >> np.uint32(32 - bits)
+        np.testing.assert_array_equal(counts,
+                                      np.bincount(pid, minlength=1 << bits))
+        starts = np.cumsum(counts) - counts
+        for p in range(1 << bits):
+            seg = out[int(starts[p]):int(starts[p] + counts[p])]
+            # segment holds exactly partition p's keys (order-free check)
+            np.testing.assert_array_equal(np.sort(seg),
+                                          np.sort(keys[pid == p]))
+
+
 def test_native_arena():
     if not native.available():
         pytest.skip("native lib unavailable")

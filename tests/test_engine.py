@@ -304,9 +304,34 @@ def test_outofcore_matches_inmemory():
     rk = rng.integers(0, 10000, n, dtype=np.uint32)
     sk = rng.integers(0, 10000, n, dtype=np.uint32)
     want = _np_join_count(rk, sk)
+    for spill in ("host", "device"):
+        got = join_count_outofcore(
+            rk, np.arange(n, dtype=np.uint32),
+            sk, np.arange(n, dtype=np.uint32),
+            CFG, coarse_bits=2, chunk=4096, spill=spill)
+        assert got == want, spill
+
+
+def test_outofcore_host_presorted_diagonal():
+    # spill="host" + mode="diagonal" drives the zero-device-sort pass 2
+    # (_pass2_presorted); duplicate keys exercise the escalation to
+    # mergecount for buckets that trip the diagonal coverage check.
+    n = 1 << 13
+    rng = np.random.default_rng(16)
+    rk = rng.permutation(n).astype(np.uint32)          # balanced: diagonal ok
+    sk = rng.permutation(n).astype(np.uint32)
+    cfg = CFG.replace(diagonal_k=8, diagonal_rows_per_group=8)
     got = join_count_outofcore(
         rk, np.arange(n, dtype=np.uint32), sk, np.arange(n, dtype=np.uint32),
-        CFG, coarse_bits=2, chunk=4096)
+        cfg, coarse_bits=2, spill="host", mode="diagonal")
+    assert got == n
+    # skewed: heavy dup key forces at least one bucket to escalate
+    sk2 = sk.copy()
+    sk2[: n // 4] = 7
+    want = _np_join_count(rk, sk2)
+    got = join_count_outofcore(
+        rk, np.arange(n, dtype=np.uint32), sk2, np.arange(n, dtype=np.uint32),
+        cfg, coarse_bits=2, spill="host", mode="diagonal")
     assert got == want
 
 
