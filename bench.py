@@ -47,6 +47,32 @@ def measure_hbm_gbps(n_bytes: int = 1 << 28) -> float:
     return 2 * n_bytes * reps / dt / 1e9
 
 
+def bench_join_northstar(n: int, reps: int = 2):
+    """BASELINE.json north star: 1B x 1B per-chip count join, in HBM.
+
+    Keys-only diagonal path with sorted-run decomposition
+    (engine/large.py): XLA's flat sort exhausts HBM above 2^29 u32
+    elements, so each side is split into 2 sorted runs and the 4 run
+    pairs are probed.  Self-validating: matches == n (dense unique keys
+    both sides, reference main.cpp:70-98).  Generation (device-side
+    bijection) is excluded from the timed region, matching bench_join.
+    """
+    from radixjoin_tpu.engine.large import (gen_unique_keys_run,
+                                            join_count_keys_runs)
+    runs = 2 if n > (1 << 29) else 1
+    rsrc = gen_unique_keys_run(n, 2654435761 | 1)
+    ssrc = gen_unique_keys_run(n, 0x9E3779B1 ^ 0x40)
+    total = 0.0
+    for rep in range(reps + 1):          # rep 0 = compile warmup, untimed
+        t0 = time.perf_counter()
+        m, ok = join_count_keys_runs(rsrc, ssrc, r_runs=runs, s_runs=runs,
+                                     sync=sync, n_r_total=n, n_s_total=n)
+        if rep:
+            total += time.perf_counter() - t0
+        assert ok and m == n, f"oracle mismatch: {m} != {n} (ok={ok})"
+    return total / reps
+
+
 def bench_join(n: int, reps: int = 3):
     from radixjoin_tpu import JoinConfig
     from radixjoin_tpu.data import relation as gen
@@ -77,7 +103,7 @@ def main():
     log(f"backend={backend} devices={jax.devices()}")
 
     if backend == "tpu":
-        n = 1 << 27          # 134M tuples per side
+        n = 1 << 30          # 1B tuples per side: the BASELINE north star
         measured = measure_hbm_gbps()
         # The relay's RPC overhead makes small copy measurements noisy
         # (observed 73-299 GB/s for the same chip); pin the roofline to the
@@ -90,10 +116,17 @@ def main():
     log(f"n={n} hbm={hbm:.0f} GB/s")
 
     try:
-        dt = bench_join(n)
-    except Exception as e:  # OOM etc: scale down once
-        log(f"bench at n={n} failed ({type(e).__name__}); retrying n={n >> 1}")
-        n >>= 1
+        if backend == "tpu":
+            # North-star scale via the in-HBM keys-only runs path
+            # (engine/large.py); falls back to the 134M general-engine
+            # join below if the big run cannot complete.
+            dt = bench_join_northstar(n)
+        else:
+            dt = bench_join(n)
+    except Exception as e:  # OOM etc: scale down to the 134M engine path
+        n = 1 << 27 if backend == "tpu" else n >> 1
+        log(f"northstar bench failed ({type(e).__name__}); "
+            f"falling back to bench_join n={n}")
         dt = bench_join(n)
 
     mtps = 2 * n / dt / 1e6

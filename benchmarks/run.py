@@ -146,11 +146,34 @@ def run_pipeline_config(n: int, reps: int, meas):
     return int(res.join_count)
 
 
+def run_northstar_config(n: int, reps: int, meas):
+    """BASELINE.json north star: 1B x 1B per-chip count join, in HBM.
+
+    Keys-only diagonal path with sorted-run decomposition
+    (engine/large.py): device-side dense-unique generation, 4 B/tuple/side
+    resident, no host spill.  Runs = 2 per side above 2^29 because XLA's
+    flat sort exhausts HBM beyond 2^29 u32 elements (measured).
+    """
+    from radixjoin_tpu.engine.large import (join_count_keys_runs,
+                                            gen_unique_keys_run)
+    runs = 2 if n > (1 << 29) else 1
+    rsrc = gen_unique_keys_run(n, 2654435761 | 1)
+    ssrc = gen_unique_keys_run(n, 0x9E3779B1 ^ 0x40)
+    got = None
+    with meas.phase("JOIN", tuples=2 * n * reps):
+        for _ in range(reps):
+            got, ok = join_count_keys_runs(rsrc, ssrc, r_runs=runs,
+                                           s_runs=runs, sync=_sync,
+                                           n_r_total=n, n_s_total=n)
+            assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    return got
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="onechip",
                     choices=["small", "onechip", "skew", "distributed",
-                             "pipeline"])
+                             "pipeline", "northstar"])
     ap.add_argument("--n", type=int, default=None,
                     help="log2 tuples per relation (per shard for distributed)")
     ap.add_argument("--reps", type=int, default=3)
@@ -170,7 +193,8 @@ def main(argv=None):
 
     defaults = {"small": 20, "onechip": 26 if on_tpu else 20,
                 "skew": 24 if on_tpu else 18,
-                "distributed": 11, "pipeline": 20 if on_tpu else 16}
+                "distributed": 11, "pipeline": 20 if on_tpu else 16,
+                "northstar": 30 if on_tpu else 16}
     logn = args.n if args.n is not None else defaults[args.config]
     n = 1 << logn
     meas.meta["LOG2N"] = logn
@@ -185,6 +209,9 @@ def main(argv=None):
     elif args.config == "pipeline":
         got = run_pipeline_config(n, args.reps, meas)
         print(f"join_count={got}", file=sys.stderr)
+    elif args.config == "northstar":
+        got = run_northstar_config(n, args.reps, meas)
+        print(f"matches={got}", file=sys.stderr)
     else:
         got = run_join_config(n, args.reps, skew=(args.config == "skew"),
                               meas=meas, cfg=cfg)

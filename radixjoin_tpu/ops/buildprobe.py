@@ -526,7 +526,7 @@ def bias_keys(keys: jnp.ndarray, drop_mask: jnp.ndarray | None = None,
         keys ^ jnp.uint32(0x80000000), jnp.int32)
 
 
-def _probe_diag_kernel(K, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref,
+def _probe_diag_kernel(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
                        out_ref, scratch, sems):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
@@ -551,14 +551,25 @@ def _probe_diag_kernel(K, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref,
 
     band_dma(g, slot).wait()
 
-    meta = wmeta_ref[pl.ds(k, 1), :]                    # (1, 128)
     lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    band = scratch[slot]                                # (b8, 128)
 
     cnt = jnp.zeros((1, 128), jnp.int32)
     viol = jnp.zeros((1, 128), jnp.int32)
     for i in range(gr):                                 # static unroll
-        e = meta[0, 1 + i]                              # window start elem
+        # Exact per-row window start, computed IN the band instead of via
+        # a global searchsorted (which goes superlinear past ~100M): the
+        # band begins strictly below this row's head (host side guarantees
+        # s[wg*128] < head for valid rows), so
+        #   e = #{band < head} = searchsorted(S, head, left) - wg*128.
+        rrow = rk_ref[i:i + 1, :]
+        head = rrow[0, 0]
+        rvalid_s = (head != jnp.int32(_R_SENT_B)).astype(jnp.int32)
+        e_raw = jnp.sum((band < head).astype(jnp.int32))
+        overflow = (e_raw > e_cap).astype(jnp.int32) * rvalid_s
+        viol = viol + jnp.where(lanes1 == 0, overflow, 0)
+        e = jnp.clip(e_raw, 0, e_cap) * rvalid_s
         base = e // 128
         ksh = e - base * 128                            # 0..127
         # Element-granular realignment: two row-aligned (2,128) reads one
@@ -572,7 +583,6 @@ def _probe_diag_kernel(K, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref,
         swin = jnp.where(lanes2 < 128 - ksh, rol_a, rol_b)
         s0 = swin[0:1, :]
         s1 = swin[1:2, :]
-        rrow = rk_ref[i:i + 1, :]
 
         # Diagonal band: rolled rrow at shift sh pairs lane l=(j-sh)%128
         # with S offset q=j (s0) / q=128+j (s1).  Shift set {0..K} on both
@@ -608,13 +618,67 @@ def _probe_diag_kernel(K, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref,
         + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol), 0)
 
 
+def _diag_geometry(n_r: int, n_s: int, k_drift: int, rows_per_group: int,
+                   band_blocks: int | None):
+    """Static shape plan shared by the probe and ``diagonal_prepad``."""
+    K = k_drift
+    assert 1 <= K <= 120
+    # Mosaic allocates VMEM stack for the whole statically-unrolled group
+    # body (~ rows * shifts live temporaries); cap rows*K so large-K
+    # configs stay inside the 16 MB scoped-vmem limit.
+    gr = min(rows_per_group, max(_ROWS, (1024 // K) // _ROWS * _ROWS))
+    assert gr % _ROWS == 0 and gr <= 120
+    if band_blocks is None:
+        # Group span ~ gr*128 * |S|/|R| plus drift/realignment slack (the
+        # coarse band start begins up to 2 rows before the group's exact
+        # searchsorted row, hence the extra 512).
+        span = (gr * 128 * n_s + n_r - 1) // n_r
+        band_blocks = (span + 1024 + 2 * K + 512) // 1024 + 1
+    b8 = band_blocks * _ROWS
+    gelems = gr * 128
+    n_groups = (n_r + gelems - 1) // gelems
+    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
+    n_r_pad = n_groups8 * gelems
+    n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
+    return gr, b8, gelems, n_groups8, n_r_pad, n_s_pad
+
+
+@functools.partial(jax.jit, static_argnames=("side", "n_r", "n_s", "k_drift",
+                                             "rows_per_group", "band_blocks"))
+def diagonal_prepad(sorted_keys: jnp.ndarray, side: str,
+                    n_r: int, n_s: int,
+                    k_drift: int = 16, rows_per_group: int = 32,
+                    band_blocks: int | None = None) -> jnp.ndarray:
+    """Sentinel-pad ONE sorted side for repeated/paired diagonal probes.
+
+    probe_count_diagonal pads internally (two full copies per call); when
+    probing many run pairs (engine/large.py) that transient doubles peak
+    HBM.  Pad each run once with this (``side`` 'r' or 's'; ``n_r``/``n_s``
+    are the TRUE run sizes of both sides — the band geometry depends on
+    their ratio) and pass ``prepadded=(n_r, n_s)`` to the probe.
+    """
+    _, _, _, _, n_r_pad, n_s_pad = _diag_geometry(
+        n_r, n_s, k_drift, rows_per_group, band_blocks)
+    if side == "r":
+        assert sorted_keys.shape[0] == n_r
+        return jnp.concatenate(
+            [sorted_keys,
+             jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_B))])
+    assert side == "s" and sorted_keys.shape[0] == n_s
+    return jnp.concatenate(
+        [sorted_keys,
+         jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_B))])
+
+
 @functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group",
-                                             "band_blocks", "interpret"))
+                                             "band_blocks", "interpret",
+                                             "prepadded"))
 def probe_count_diagonal(r_sorted: jnp.ndarray, s_sorted: jnp.ndarray,
                          k_drift: int = 16,
                          rows_per_group: int = 32,
                          band_blocks: int | None = None,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         prepadded: tuple[int, int] | None = None):
     """Diagonal rank-band count join over fully-sorted biased-int32 keys.
 
     ``r_sorted``/``s_sorted`` come from ``jax.lax.sort(bias_keys(...))``;
@@ -625,72 +689,53 @@ def probe_count_diagonal(r_sorted: jnp.ndarray, s_sorted: jnp.ndarray,
     tiered / sortmerge.  Requires locally balanced sides (|S| ~ |R|): a
     global size ratio >> 1 makes the within-row diagonal slope != 1 and
     trips the check by construction.
+
+    ``prepadded=(n_r, n_s)``: the inputs already carry the sentinel
+    padding from :func:`diagonal_prepad` (called with the SAME k_drift /
+    rows_per_group / band_blocks); n_r/n_s are the true unpadded sizes.
     """
     if interpret is None:
         interpret = pallas_interpret()
     K = k_drift
-    assert 1 <= K <= 120
-    # Mosaic allocates VMEM stack for the whole statically-unrolled group
-    # body (~ rows * shifts live temporaries); cap rows*K so large-K
-    # configs stay inside the 16 MB scoped-vmem limit.
-    gr = min(rows_per_group, max(_ROWS, (1024 // K) // _ROWS * _ROWS))
-    assert gr % _ROWS == 0 and gr <= 120
-    n_r = r_sorted.shape[0]
-    n_s = s_sorted.shape[0]
+    if prepadded is not None:
+        n_r, n_s = prepadded
+    else:
+        n_r = r_sorted.shape[0]
+        n_s = s_sorted.shape[0]
+    gr, b8, gelems, n_groups8, n_r_pad, n_s_pad = _diag_geometry(
+        n_r, n_s, K, rows_per_group, band_blocks)
 
-    if band_blocks is None:
-        # Group span ~ gr*128 * |S|/|R| plus drift/realignment slack.
-        span = (gr * 128 * n_s + n_r - 1) // n_r
-        band_blocks = (span + 1024 + 2 * K + 256) // 1024 + 1
-    b8 = band_blocks * _ROWS
-
-    # --- pad R to whole groups with the r sentinel ---
-    gelems = gr * 128
-    n_r_pad = ((n_r + gelems - 1) // gelems) * gelems
-    rk = r_sorted
-    if n_r_pad != n_r:
-        rk = jnp.concatenate(
-            [rk, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_B))])
-    n_rows = n_r_pad // 128
-    n_groups = n_rows // gr
-
-    # --- pad S with sentinel headroom so band DMAs never run off the end ---
-    n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
-    sk = jnp.concatenate(
-        [s_sorted, jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_B))])
+    rk, sk = r_sorted, s_sorted
+    if prepadded is not None:
+        assert rk.shape[0] == n_r_pad and sk.shape[0] == n_s_pad, \
+            "prepadded shapes disagree with geometry (same params?)"
+    else:
+        if n_r_pad != n_r:
+            rk = jnp.concatenate(
+                [rk, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_B))])
+        sk = jnp.concatenate(
+            [sk, jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_B))])
+    r2d = rk.reshape(-1, 128)
     s2d = sk.reshape(-1, 128)
     s_max_row = s2d.shape[0] - b8
 
-    # --- per-row exact S offsets (the entire "build phase") ---
-    heads = rk[::128]                                       # (n_rows,)
-    j0 = jnp.searchsorted(s_sorted, heads, side="left").astype(jnp.int32)
-    j0g = j0.reshape(n_groups, gr)
-    wg = jnp.clip(j0g[:, 0] // 128, 0, s_max_row)           # band start row
-    e = j0g - wg[:, None] * 128                             # window elem offs
+    # --- coarse band starts: ONE search per GROUP over S row heads ---
+    # (The old exact per-R-row searchsorted over the full S went badly
+    # superlinear past ~100M; per-row offsets now come from an in-kernel
+    # count over the loaded band.)  side='left' over row heads guarantees
+    # s[(t0-1)*128] < group head, so the band starts strictly below every
+    # head in the group and the in-kernel count is exactly
+    # searchsorted(S, head) - wg*128 for every valid row.
+    gheads = rk[::gelems]                                   # (n_groups8,)
+    s_heads = sk[::128]    # sentinel heads sort last — harmless to search
+    t0 = jnp.searchsorted(s_heads, gheads, side="left").astype(jnp.int32)
+    wg = jnp.clip(t0 - 1, 0, s_max_row)                     # band start row
     e_cap = (b8 - 3) * 128                                  # slice bound
-    row_valid = (heads != jnp.int32(_R_SENT_B)).reshape(n_groups, gr)
-    ok_band = jnp.all(jnp.where(row_valid, (e >= 0) & (e <= e_cap), True))
-    e = jnp.clip(e, 0, e_cap)
-
-    # --- pad groups to a multiple of 8 ---
-    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
-    if n_groups8 != n_groups:
-        pad = n_groups8 - n_groups
-        wg = jnp.concatenate([wg, jnp.zeros((pad,), jnp.int32)])
-        e = jnp.concatenate([e, jnp.zeros((pad, gr), jnp.int32)])
-        rk = jnp.concatenate(
-            [rk, jnp.full((pad * gelems,), jnp.int32(_R_SENT_B))])
-    r2d = rk.reshape(-1, 128)
-
-    wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
-    wmeta = wmeta.at[:, 1:1 + gr].set(e.reshape(n_groups8, gr))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups8,),
         in_specs=[
-            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -703,13 +748,13 @@ def probe_count_diagonal(r_sorted: jnp.ndarray, s_sorted: jnp.ndarray,
         ],
     )
     per_group = pl.pallas_call(
-        functools.partial(_probe_diag_kernel, K, b8, gr),
+        functools.partial(_probe_diag_kernel, K, b8, gr, e_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
         interpret=interpret,
-    )(wg, wmeta, r2d, s2d)
+    )(wg, r2d, s2d)
     matches = jnp.sum(per_group[:, 0])
-    ok = (jnp.sum(per_group[:, 1]) == 0) & ok_band
+    ok = jnp.sum(per_group[:, 1]) == 0
     return matches, ok
 
 

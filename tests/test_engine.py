@@ -419,3 +419,55 @@ def test_pipeline_multimatch_payload_falls_back():
         np.asarray(ref.group_keys), np.asarray(ref.group_sums),
         np.asarray(ref.group_valid)) if m}
     assert ga == gb and int(res.join_count) == int(ref.join_count)
+
+
+def test_inhbm_keys_join():
+    # Phased keys-only large-N path (engine/large.py): oracle + agreement
+    # with the general engine on random multiplicity data.
+    from radixjoin_tpu.engine.large import (join_count_keys_inhbm,
+                                            gen_unique_keys)
+    n = 1 << 13
+    rk = gen_unique_keys(n, 2654435761 | 1)
+    sk = gen_unique_keys(n, 0x9E3779B1 ^ 0x40)
+    assert len(np.unique(np.asarray(rk))) == n  # bijection really is one
+    m, ok = join_count_keys_inhbm(rk, sk)
+    assert bool(ok) and int(m) == n
+
+    # Multiplicity data: must agree with the general engine's diagonal mode
+    # — same ok verdict, and when ok holds, the exact count (ok False means
+    # the rank band overflowed and the caller must escalate, so the count
+    # is not contractual there).
+    rng = np.random.default_rng(11)
+    rk = rng.integers(0, 4 * n, n, dtype=np.uint32)
+    sk = rng.integers(0, 4 * n, n, dtype=np.uint32)
+    want = _np_join_count(rk, sk)
+    m, ok = join_count_keys_inhbm(jnp.asarray(rk), jnp.asarray(sk))
+    res = join_count(make_relation(rk, np.arange(n, dtype=np.uint32)),
+                     make_relation(sk, np.arange(n, dtype=np.uint32)),
+                     CFG, mode="diagonal")
+    assert bool(ok) == bool(res.ok)
+    assert int(m) == total_matches(res)
+    if bool(ok):
+        assert int(m) == want
+
+
+def test_inhbm_runs_decomposition():
+    # Sorted-run decomposition (engine/large.py join_count_keys_runs):
+    # every (r, s) match lands in exactly one run pair, so the pair-sum
+    # equals the flat join on both oracle and multiplicity data.
+    from radixjoin_tpu.engine.large import (join_count_keys_runs,
+                                            gen_unique_keys)
+    n = 1 << 13
+    rk = gen_unique_keys(n, 2654435761 | 1)
+    sk = gen_unique_keys(n, 0x9E3779B1 ^ 0x40)
+    m, ok = join_count_keys_runs(rk, sk, r_runs=2, s_runs=2)
+    assert bool(ok) and int(m) == n
+
+    rng = np.random.default_rng(5)
+    rk = rng.integers(0, 4 * n, n, dtype=np.uint32)
+    sk = rng.integers(0, 4 * n, n, dtype=np.uint32)
+    want = _np_join_count(rk, sk)
+    m, ok = join_count_keys_runs(jnp.asarray(rk), jnp.asarray(sk),
+                                 r_runs=2, s_runs=2)
+    if bool(ok):
+        assert int(m) == want
