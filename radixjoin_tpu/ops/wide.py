@@ -112,7 +112,7 @@ def _le64(ah, al, bh, bl):
             + (ah == bh).astype(jnp.int32) * (al <= bl).astype(jnp.int32))
 
 
-def _probe_diag64_kernel(K, b8, gr, wg_ref, wmeta_ref, rh_ref, rl_ref,
+def _probe_diag64_kernel(K, b8, gr, e_cap, wg_ref, rh_ref, rl_ref,
                          sh_ref, sl_ref, out_ref, scr_h, scr_l,
                          sem_h, sem_l):
     g = pl.program_id(0)
@@ -145,14 +145,28 @@ def _probe_diag64_kernel(K, b8, gr, wg_ref, wmeta_ref, rh_ref, rl_ref,
     for c in band_dma(g, slot):
         c.wait()
 
-    meta = wmeta_ref[pl.ds(k, 1), :]
     lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    band_h = scr_h[slot]                                # (b8, 128)
 
     cnt = jnp.zeros((1, 128), jnp.int32)
     viol = jnp.zeros((1, 128), jnp.int32)
     for i in range(gr):                                 # static unroll
-        e = meta[0, 1 + i]
+        # In-band window start (cf. _probe_diag_kernel): the hi-plane-only
+        # count matches the host's old hi-plane searchsorted lower bound —
+        # equal-hi/smaller-lo slack is absorbed by K and the coverage
+        # check, exactly as before.
+        rh_i = rh_ref[i:i + 1, :]
+        head_h = rh_i[0, 0]
+        rl_i = rl_ref[i:i + 1, :]
+        head_l = rl_i[0, 0]
+        rvalid_i = 1 - ((head_h == jnp.int32(_SENT_HI)).astype(jnp.int32)
+                        * (head_l == jnp.int32(_R_SENT_LO))
+                        .astype(jnp.int32))
+        e_raw = jnp.sum((band_h < head_h).astype(jnp.int32))
+        overflow = (e_raw > e_cap).astype(jnp.int32) * rvalid_i
+        viol = viol + jnp.where(lanes1 == 0, overflow, 0)
+        e = jnp.clip(e_raw, 0, e_cap) * rvalid_i
         base = e // 128
         ksh = e - base * 128
         sh_al = jax.lax.rem(128 - ksh, 128)
@@ -168,8 +182,7 @@ def _probe_diag64_kernel(K, b8, gr, wg_ref, wmeta_ref, rh_ref, rl_ref,
         swin_l = realign(scr_l)
         s0h, s1h = swin_h[0:1, :], swin_h[1:2, :]
         s0l, s1l = swin_l[0:1, :], swin_l[1:2, :]
-        rh = rh_ref[i:i + 1, :]
-        rl = rl_ref[i:i + 1, :]
+        rh, rl = rh_i, rl_i
 
         acc = ((s0h == rh).astype(jnp.int32)
                * (s0l == rl).astype(jnp.int32))
@@ -231,20 +244,24 @@ def probe_count_diagonal64(r_hi, r_lo, s_hi, s_lo,
     n_s = s_hi.shape[0]
 
     if band_blocks is None:
+        # +512: the coarse band start begins up to 2 rows early (cf.
+        # probe_count_diagonal).
         span = (gr * 128 * n_s + n_r - 1) // n_r
-        band_blocks = (span + 1024 + 2 * K + 256) // 1024 + 1
+        band_blocks = (span + 1024 + 2 * K + 512) // 1024 + 1
     b8 = band_blocks * _ROWS
 
     gelems = gr * 128
-    n_r_pad = ((n_r + gelems - 1) // gelems) * gelems
+    n_groups = (n_r + gelems - 1) // gelems
+    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
+    n_r_pad = n_groups8 * gelems
     rh, rl = r_hi, r_lo
     if n_r_pad != n_r:
         rh = jnp.concatenate(
             [rh, jnp.full((n_r_pad - n_r,), jnp.int32(_SENT_HI))])
         rl = jnp.concatenate(
             [rl, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_LO))])
-    n_rows = n_r_pad // 128
-    n_groups = n_rows // gr
+    r2h = rh.reshape(-1, 128)
+    r2l = rl.reshape(-1, 128)
 
     n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
     sh_p = jnp.concatenate(
@@ -255,41 +272,20 @@ def probe_count_diagonal64(r_hi, r_lo, s_hi, s_lo,
     s2l = sl_p.reshape(-1, 128)
     s_max_row = s2h.shape[0] - b8
 
-    # hi-plane lower bound of each row head's lexicographic S rank
-    heads_h = rh[::128]
-    heads_l = rl[::128]
-    j0 = jnp.searchsorted(s_hi, heads_h, side="left").astype(jnp.int32)
-    j0g = j0.reshape(n_groups, gr)
-    wg = jnp.clip(j0g[:, 0] // 128, 0, s_max_row)
-    e = j0g - wg[:, None] * 128
+    # Coarse band starts: one hi-plane search per GROUP over S row heads
+    # (cf. probe_count_diagonal — the old per-R-row global searchsorted
+    # went superlinear past ~100M).  Exact per-row hi-plane lower bounds
+    # come from the in-kernel count over the loaded band.
+    gheads_h = rh[::gelems]
+    s_heads_h = sh_p[::128]   # sentinel heads sort last — harmless
+    t0 = jnp.searchsorted(s_heads_h, gheads_h, side="left").astype(jnp.int32)
+    wg = jnp.clip(t0 - 1, 0, s_max_row)
     e_cap = (b8 - 3) * 128
-    row_valid = ((heads_h != jnp.int32(_SENT_HI))
-                 | (heads_l != jnp.int32(_R_SENT_LO))
-                 ).reshape(n_groups, gr)
-    ok_band = jnp.all(jnp.where(row_valid, (e >= 0) & (e <= e_cap), True))
-    e = jnp.clip(e, 0, e_cap)
-
-    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
-    if n_groups8 != n_groups:
-        pad = n_groups8 - n_groups
-        wg = jnp.concatenate([wg, jnp.zeros((pad,), jnp.int32)])
-        e = jnp.concatenate([e, jnp.zeros((pad, gr), jnp.int32)])
-        rh = jnp.concatenate(
-            [rh, jnp.full((pad * gelems,), jnp.int32(_SENT_HI))])
-        rl = jnp.concatenate(
-            [rl, jnp.full((pad * gelems,), jnp.int32(_R_SENT_LO))])
-    r2h = rh.reshape(-1, 128)
-    r2l = rl.reshape(-1, 128)
-
-    wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
-    wmeta = wmeta.at[:, 1:1 + gr].set(e.reshape(n_groups8, gr))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups8,),
         in_specs=[
-            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
@@ -307,13 +303,13 @@ def probe_count_diagonal64(r_hi, r_lo, s_hi, s_lo,
         ],
     )
     per_group = pl.pallas_call(
-        functools.partial(_probe_diag64_kernel, K, b8, gr),
+        functools.partial(_probe_diag64_kernel, K, b8, gr, e_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
         interpret=interpret,
-    )(wg, wmeta, r2h, r2l, s2h, s2l)
+    )(wg, r2h, r2l, s2h, s2l)
     matches = jnp.sum(per_group[:, 0])
-    ok = (jnp.sum(per_group[:, 1]) == 0) & ok_band
+    ok = jnp.sum(per_group[:, 1]) == 0
     return matches, ok
 
 
