@@ -169,11 +169,34 @@ def run_northstar_config(n: int, reps: int, meas):
     return got
 
 
+def run_northstar_skew_config(n: int, reps: int, meas):
+    """BASELINE.json: 1B x 1B Zipf(1.05) skew-aware single-host, in HBM.
+
+    Pair-decomposed skew-aware mergecount (engine/large.py).  Runs per
+    side sized so each pair's concat-sort stays within the 2^29 flat-sort
+    limit.  Oracle: R dense-unique over [0, n), S Zipf keys within
+    [0, n) => matches == n exactly.
+    """
+    from radixjoin_tpu.engine.large import (join_count_keys_skew_runs,
+                                            gen_unique_keys_run,
+                                            gen_zipf_keys_run)
+    runs = max(1, n >> 28)
+    rsrc = gen_unique_keys_run(n, 2654435761 | 1)
+    ssrc = gen_zipf_keys_run(n, domain=n, theta=1.05, seed=1235)
+    got = None
+    with meas.phase("JOIN", tuples=2 * n * reps):
+        for _ in range(reps):
+            got, ok = join_count_keys_skew_runs(
+                rsrc, ssrc, runs, runs, n, n, sync=_sync)
+            assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    return got
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="onechip",
                     choices=["small", "onechip", "skew", "distributed",
-                             "pipeline", "northstar"])
+                             "pipeline", "northstar", "northstar-skew"])
     ap.add_argument("--n", type=int, default=None,
                     help="log2 tuples per relation (per shard for distributed)")
     ap.add_argument("--reps", type=int, default=3)
@@ -194,7 +217,8 @@ def main(argv=None):
     defaults = {"small": 20, "onechip": 26 if on_tpu else 20,
                 "skew": 24 if on_tpu else 18,
                 "distributed": 11, "pipeline": 20 if on_tpu else 16,
-                "northstar": 30 if on_tpu else 16}
+                "northstar": 30 if on_tpu else 16,
+                "northstar-skew": 30 if on_tpu else 16}
     logn = args.n if args.n is not None else defaults[args.config]
     n = 1 << logn
     meas.meta["LOG2N"] = logn
@@ -211,6 +235,9 @@ def main(argv=None):
         print(f"join_count={got}", file=sys.stderr)
     elif args.config == "northstar":
         got = run_northstar_config(n, args.reps, meas)
+        print(f"matches={got}", file=sys.stderr)
+    elif args.config == "northstar-skew":
+        got = run_northstar_skew_config(n, args.reps, meas)
         print(f"matches={got}", file=sys.stderr)
     else:
         got = run_join_config(n, args.reps, skew=(args.config == "skew"),

@@ -20,11 +20,12 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..ops.buildprobe import (bias_keys, diagonal_prepad,
-                              probe_count_diagonal)
+                              probe_count_diagonal, probe_count_merged)
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -144,6 +145,103 @@ def join_count_keys_runs(r_keys, s_keys,
     return total, ok
 
 
+def join_count_keys_skew_runs(r_source, s_source,
+                              r_runs: int, s_runs: int,
+                              n_r_total: int, n_s_total: int,
+                              max_heavy_per_run: int = 8,
+                              prng_seed: int = 0,
+                              chunk: int = 1 << 24,
+                              sync=None):
+    """Skew-aware exact count join at beyond-sort-limit sizes (the
+    BASELINE 1B x 1B Zipf(1.05) single-host config).
+
+    The same pair decomposition as :func:`join_count_keys_runs`, but each
+    pair is counted with the MERGECOUNT rung (one concat-sort + run-
+    product scans — exact under arbitrary skew, engine/join.py
+    mode="mergecount"), and heavy hitters are removed first so the
+    in-pair products stay within int32:
+
+      1. sample-detect heavy keys per run and union them (a key heavy in
+         ANY run is dropped everywhere — classification only routes work,
+         both routes are exact),
+      2. exact heavy frequencies per side via fused compare-reduce
+         (one jit per run: XLA fuses the [K, N] plane into the reduction
+         — measured 0.04 s at 2^28; the EAGER ops/skew.count_exact would
+         materialise 8 GB there),
+      3. per pair: sentinel-out heavy rows (same fused form) + mergecount,
+      4. total = sum of pair counts + sum_k cr[k] * cs[k] in host int.
+
+    Sources are callables ``fn(run, n_runs) -> uint32 keys`` (runs are
+    re-generated on demand — measured ~0.04 s each — so at most one run
+    per side plus the mergecount working set is resident).
+    """
+    from ..ops import skew as skew_ops
+    sync = sync or (lambda x: None)
+    del chunk  # fused forms below need no slicing
+
+    def _detect_all():
+        hks, hvs = [], []
+        base = jax.random.key(prng_seed)
+        fold = 0
+        for src, runs in ((r_source, r_runs), (s_source, s_runs)):
+            for i in range(runs):
+                k = src(i, runs)
+                fold += 1
+                # Pre-slice a contiguous window for the detector: its
+                # internal uniform-index gather costs ~23 s EAGERLY on a
+                # 1 GB operand over the relay (XLA random gather is the
+                # slowest op class on this chip); a static slice is free,
+                # and run sources are iid draws, so a contiguous block IS
+                # a uniform sample.
+                win = 1 << 16
+                if k.shape[0] > win:
+                    off = ((i * 2654435761) % (k.shape[0] - win)) & ~127
+                    k = jax.lax.slice_in_dim(k, off, off + win)
+                hh = skew_ops.detect_heavy_keys(
+                    k, jax.random.fold_in(base, fold), max_heavy_per_run)
+                hks.append(hh.keys)
+                hvs.append(hh.valid)
+        hh = skew_ops.HeavyHitters(jnp.concatenate(hks),
+                                   jnp.concatenate(hvs))
+        hh = skew_ops.dedup_heavy(hh)
+        sync(hh.keys)
+        return hh
+
+    @jax.jit
+    def _hcount(keys, hk, hv):
+        eq = (keys[None, :] == hk[:, None]) & hv[:, None]
+        return jnp.sum(eq, axis=1, dtype=jnp.int32)
+
+    @jax.jit
+    def _eff(keys, hk, hv, sentinel):
+        m = jnp.any((keys[None, :] == hk[:, None]) & hv[:, None], axis=0)
+        return jnp.where(m, sentinel, keys)
+
+    hh = _detect_all()
+
+    cr = jnp.zeros((hh.keys.shape[0],), jnp.int32)
+    for i in range(r_runs):
+        cr = cr + _hcount(r_source(i, r_runs), hh.keys, hh.valid)
+    cs = jnp.zeros((hh.keys.shape[0],), jnp.int32)
+    for j in range(s_runs):
+        cs = cs + _hcount(s_source(j, s_runs), hh.keys, hh.valid)
+    cr_h = np.asarray(jax.device_get(cr)).astype(np.int64)
+    cs_h = np.asarray(jax.device_get(cs)).astype(np.int64)
+    heavy_total = int(np.sum(cr_h * cs_h))
+
+    light_total = 0
+    for i in range(r_runs):
+        rk_eff = _eff(r_source(i, r_runs), hh.keys, hh.valid,
+                      jnp.uint32(0xFFFFFFFF))
+        sync(rk_eff)
+        for j in range(s_runs):
+            sk_eff = _eff(s_source(j, s_runs), hh.keys, hh.valid,
+                          jnp.uint32(0xFFFFFFFE))
+            m = probe_count_merged(rk_eff, sk_eff)
+            light_total += int(m)
+    return light_total + heavy_total, True
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _gen_span(n: int, odd_mult: int, lo: int, hi: int) -> jnp.ndarray:
     x = jnp.arange(lo, hi, dtype=jnp.uint32)
@@ -162,6 +260,30 @@ def gen_unique_keys(n: int, odd_mult: int) -> jnp.ndarray:
     assert n & (n - 1) == 0, "power-of-two n"
     assert odd_mult & 1
     return _gen_span(n, odd_mult, 0, n)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _gen_zipf_span(nr: int, domain: int, theta: float, key) -> jnp.ndarray:
+    # Analytic inverse-CDF Zipf (cf. data/relation.py fill_zipf), keys only.
+    u = jax.random.uniform(key, (nr,), dtype=jnp.float32,
+                           minval=1e-7, maxval=1.0)
+    th = theta if abs(theta - 1.0) >= 1e-6 else 1.0 + 1e-4
+    one_m = 1.0 - th
+    h_max = (float(domain) ** one_m - 1.0) / one_m
+    r = jnp.power(1.0 + u * h_max * one_m, 1.0 / one_m)
+    return jnp.clip(r.astype(jnp.uint32), 0, domain - 1)
+
+
+def gen_zipf_keys_run(n: int, domain: int, theta: float, seed: int):
+    """``fn(run, n_runs)`` Zipf(theta) key source over [0, domain).
+
+    Independent samples per run == one n-sized Zipf sample, since draws
+    are iid; deterministic in (seed, run)."""
+    def source(run: int, n_runs: int) -> jnp.ndarray:
+        return _gen_zipf_span(n // n_runs, domain, theta,
+                              jax.random.fold_in(jax.random.key(seed), run))
+
+    return source
 
 
 def gen_unique_keys_run(n: int, odd_mult: int):

@@ -66,6 +66,7 @@ def probe_count_reference(r_keys: jnp.ndarray, s_keys: jnp.ndarray
     return probe_count_sorted(jnp.sort(r_keys), s_keys)
 
 
+@jax.jit
 def probe_count_merged(r_keys: jnp.ndarray, s_keys: jnp.ndarray
                        ) -> jnp.ndarray:
     """Gather-free exact count via one concat-sort (any skew, any dups).
@@ -83,12 +84,19 @@ def probe_count_merged(r_keys: jnp.ndarray, s_keys: jnp.ndarray
     (tasks/BuildProbe.cpp:47-118) as the last escalation rung.  int32
     result — same contract as the other count probes (partition upstream
     or use skew_aware so heavy-key products stay host-side in 64-bit).
+
+    Jitted as a unit: called eagerly, the chain of N-sized temporaries
+    (concat, sorted pair, cumsum, cummax) stays alive through Python
+    locals and exhausts HBM near the 2^29 sort limit; under jit XLA's
+    liveness keeps only 2-3 planes resident.  The side tag is int8 for
+    the same reason (the sort moves an 8x smaller payload operand).
     """
     n_r = r_keys.shape[0]
     keys = jnp.concatenate([r_keys, s_keys])
-    tag = jnp.concatenate([jnp.zeros((n_r,), jnp.int32),
-                           jnp.ones((s_keys.shape[0],), jnp.int32)])
+    tag = jnp.concatenate([jnp.zeros((n_r,), jnp.int8),
+                           jnp.ones((s_keys.shape[0],), jnp.int8)])
     skeys, stag = jax.lax.sort((keys, tag), num_keys=2, is_stable=False)
+    stag = stag.astype(jnp.int32)
     change = jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
     cum_r = jnp.cumsum(1 - stag)                       # R rows <= i
     cum_r_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_r[:-1]])

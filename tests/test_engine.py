@@ -471,3 +471,32 @@ def test_inhbm_runs_decomposition():
                                  r_runs=2, s_runs=2)
     if bool(ok):
         assert int(m) == want
+
+
+def test_skew_runs_decomposition():
+    # Pair-decomposed skew-aware mergecount (engine/large.py): exact on
+    # Zipf-skewed data including a dominant heavy key, vs the numpy oracle.
+    from radixjoin_tpu.engine.large import (join_count_keys_skew_runs,
+                                            gen_unique_keys_run,
+                                            gen_zipf_keys_run)
+    n = 1 << 13
+    rsrc = gen_unique_keys_run(n, 2654435761 | 1)
+    ssrc = gen_zipf_keys_run(n, domain=n, theta=1.05, seed=9)
+    got, ok = join_count_keys_skew_runs(rsrc, ssrc, 2, 2, n, n,
+                                        chunk=1 << 11)
+    # dense-unique R over [0, n) x S keys in [0, n): every S row matches
+    assert ok and got == n
+
+    # multiplicity both sides incl. a heavy key on each
+    rng = np.random.default_rng(3)
+    rk = rng.integers(0, 900, n, dtype=np.uint32)
+    sk = rng.integers(0, 900, n, dtype=np.uint32)
+    rk[: n // 6] = 13
+    sk[: n // 3] = 13
+    want = _np_join_count(rk, sk)
+    rj, sj = jnp.asarray(rk), jnp.asarray(sk)
+    rsrc = lambda i, nr: rj[i * (n // nr):(i + 1) * (n // nr)]
+    ssrc = lambda j, ns: sj[j * (n // ns):(j + 1) * (n // ns)]
+    got, ok = join_count_keys_skew_runs(rsrc, ssrc, 2, 2, n, n,
+                                        chunk=1 << 11)
+    assert ok and got == want
