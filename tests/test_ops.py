@@ -524,3 +524,24 @@ def test_partition_tiers():
     tiers = skew_ops.partition_tiers(counts, base_capacity=128, n_tiers=3,
                                      growth=4)
     np.testing.assert_array_equal(np.asarray(tiers), [0, 0, 1, 3])
+
+
+def test_crossbar_row_digit_sort():
+    # Per-row stable LSD digit sort (ops/crossbar.py) vs numpy argsort,
+    # keys + payload, several digit windows.
+    from radixjoin_tpu.ops.crossbar import row_digit_sort
+    rng = np.random.default_rng(0)
+    n = 256 * 128
+    keys = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    pay = np.arange(n, dtype=np.uint32)
+    for shift, bits in ((0, 5), (26, 6)):
+        ok, op = row_digit_sort(jnp.asarray(keys), jnp.asarray(pay),
+                                bits, shift, interpret=True)
+        ok = np.asarray(ok).reshape(-1, 128)
+        op = np.asarray(op).reshape(-1, 128)
+        k2, p2 = keys.reshape(-1, 128), pay.reshape(-1, 128)
+        for r in range(k2.shape[0]):
+            order = np.argsort((k2[r] >> shift) & ((1 << bits) - 1),
+                               kind="stable")
+            np.testing.assert_array_equal(ok[r], k2[r][order])
+            np.testing.assert_array_equal(op[r], p2[r][order])
