@@ -6,14 +6,18 @@ because its device memory is small.  A v5e chip has 16 GB HBM, and a count
 join needs only the keys (4 B/tuple/side — rids never matter for counting,
 engine/join.py mode="diagonal"), so even 1B x 1B fits ON the chip:
 
-    live peak = sorted_R (4 GB) + S (donated into its sort) + sorted_S
-              = 12 GB at the second sort, less with donation honoured.
+    live peak = sorted_R (4 GB) + S + sorted_S = 12 GB at the second sort.
 
-This module phases the join explicitly — sort R, sort S, probe — with
-buffer donation between phases so XLA can reuse buffers, instead of one
-fused jit whose liveness analysis would keep everything resident.  The
-out-of-core driver (engine/outofcore.py) remains the path for relations
-that truly exceed HBM; this one replaces it whenever both key arrays fit.
+This module phases the join explicitly — sort runs, pad runs, probe —
+so Python-level liveness (not one fused jit's worst case) bounds peak
+HBM.  Donation is requested throughout but this backend ignores it
+(measured), hence the per-run callable sources: never materialise a
+4 GB parent that a split would keep alive.  Two measured hard limits
+shape everything here (BENCH_NOTES.md): XLA's flat u32 sort exhausts
+HBM above 2^29 elements, and eager N-sized op chains OOM from Python
+local liveness.  The out-of-core driver (engine/outofcore.py) remains
+the path for relations that truly exceed HBM; this module replaces it
+whenever the key arrays fit.
 """
 
 from __future__ import annotations
@@ -133,15 +137,15 @@ def join_count_keys_runs(r_keys, s_keys,
         sync(sp)
         ss_runs.append(sp)
 
-    total = 0
-    ok = True
-    for rs in rs_runs:
-        for ss in ss_runs:
-            m, o = probe_count_diagonal(
-                rs, ss, k_drift=k_drift, rows_per_group=rows_per_group,
-                prepadded=(nr, ns))
-            total += int(m)
-            ok = ok and bool(o)
+    # Dispatch every pair probe before pulling any result: outputs are
+    # tiny, inputs are already resident, and batching saves one relay
+    # round-trip per pair.
+    parts = [probe_count_diagonal(rs, ss, k_drift=k_drift,
+                                  rows_per_group=rows_per_group,
+                                  prepadded=(nr, ns))
+             for rs in rs_runs for ss in ss_runs]
+    total = sum(int(m) for m, _ in parts)
+    ok = all(bool(o) for _, o in parts)
     return total, ok
 
 
@@ -150,7 +154,6 @@ def join_count_keys_skew_runs(r_source, s_source,
                               n_r_total: int, n_s_total: int,
                               max_heavy_per_run: int = 8,
                               prng_seed: int = 0,
-                              chunk: int = 1 << 24,
                               sync=None):
     """Skew-aware exact count join at beyond-sort-limit sizes (the
     BASELINE 1B x 1B Zipf(1.05) single-host config).
@@ -177,7 +180,6 @@ def join_count_keys_skew_runs(r_source, s_source,
     """
     from ..ops import skew as skew_ops
     sync = sync or (lambda x: None)
-    del chunk  # fused forms below need no slicing
 
     def _detect_all():
         hks, hvs = [], []

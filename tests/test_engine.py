@@ -482,8 +482,7 @@ def test_skew_runs_decomposition():
     n = 1 << 13
     rsrc = gen_unique_keys_run(n, 2654435761 | 1)
     ssrc = gen_zipf_keys_run(n, domain=n, theta=1.05, seed=9)
-    got, ok = join_count_keys_skew_runs(rsrc, ssrc, 2, 2, n, n,
-                                        chunk=1 << 11)
+    got, ok = join_count_keys_skew_runs(rsrc, ssrc, 2, 2, n, n)
     # dense-unique R over [0, n) x S keys in [0, n): every S row matches
     assert ok and got == n
 
@@ -497,6 +496,5 @@ def test_skew_runs_decomposition():
     rj, sj = jnp.asarray(rk), jnp.asarray(sk)
     rsrc = lambda i, nr: rj[i * (n // nr):(i + 1) * (n // nr)]
     ssrc = lambda j, ns: sj[j * (n // ns):(j + 1) * (n // ns)]
-    got, ok = join_count_keys_skew_runs(rsrc, ssrc, 2, 2, n, n,
-                                        chunk=1 << 11)
+    got, ok = join_count_keys_skew_runs(rsrc, ssrc, 2, 2, n, n)
     assert ok and got == want
