@@ -169,6 +169,36 @@ def run_northstar_config(n: int, reps: int, meas):
     return got
 
 
+def run_northstar64_config(n: int, reps: int, meas, runs_shift: int = 28):
+    """Wide-key north star: n x n count join with 64-bit keys, in HBM.
+
+    The reference's native key width (data/Tuple.h:15-22) at beyond-
+    single-sort scale: (hi, lo) uint32 planes, sorted-run decomposition
+    with the two-plane diagonal kernel (engine/large.py
+    join64_count_keys_runs).  Runs sized so each per-run TWO-OPERAND sort
+    stays inside XLA's HBM scratch wall (half the 32-bit element cap).
+    Oracle: both sides enumerate the same dense-unique 64-bit key set =>
+    matches == n exactly.
+    """
+    from radixjoin_tpu.engine.large import (join64_count_keys_runs,
+                                            gen_unique_keys64_run)
+    runs = max(1, n >> runs_shift)
+    rsrc = gen_unique_keys64_run(n, 2654435761 | 1)
+    ssrc = gen_unique_keys64_run(n, 0x9E3779B1 ^ 0x40)
+    # k_drift=16 (not the 16.7M default 64): gr scales as 512//k and the
+    # per-group SMEM prefetch array caps at ~240K groups — at 2^28-element
+    # runs only k<=16 (gr=32) fits, and the well-spread hi plane of this
+    # workload keeps rank drift well inside +-16.
+    k = 16 if n >> max(0, runs_shift) > (1 << 24) else 64
+    got = None
+    with meas.phase("JOIN", tuples=2 * n * reps):
+        for _ in range(reps):
+            got, ok = join64_count_keys_runs(rsrc, ssrc, runs, runs,
+                                             n, n, k_drift=k, sync=_sync)
+            assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    return got
+
+
 def run_northstar_skew_config(n: int, reps: int, meas):
     """BASELINE.json: 1B x 1B Zipf(1.05) skew-aware single-host, in HBM.
 
@@ -196,7 +226,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="onechip",
                     choices=["small", "onechip", "skew", "distributed",
-                             "pipeline", "northstar", "northstar-skew"])
+                             "pipeline", "northstar", "northstar-skew",
+                             "northstar64"])
     ap.add_argument("--n", type=int, default=None,
                     help="log2 tuples per relation (per shard for distributed)")
     ap.add_argument("--reps", type=int, default=3)
@@ -218,7 +249,8 @@ def main(argv=None):
                 "skew": 24 if on_tpu else 18,
                 "distributed": 11, "pipeline": 20 if on_tpu else 16,
                 "northstar": 30 if on_tpu else 16,
-                "northstar-skew": 30 if on_tpu else 16}
+                "northstar-skew": 30 if on_tpu else 16,
+                "northstar64": 29 if on_tpu else 15}
     logn = args.n if args.n is not None else defaults[args.config]
     n = 1 << logn
     meas.meta["LOG2N"] = logn
@@ -238,6 +270,9 @@ def main(argv=None):
         print(f"matches={got}", file=sys.stderr)
     elif args.config == "northstar-skew":
         got = run_northstar_skew_config(n, args.reps, meas)
+        print(f"matches={got}", file=sys.stderr)
+    elif args.config == "northstar64":
+        got = run_northstar64_config(n, args.reps, meas)
         print(f"matches={got}", file=sys.stderr)
     else:
         got = run_join_config(n, args.reps, skew=(args.config == "skew"),

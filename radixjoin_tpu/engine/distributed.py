@@ -191,9 +191,9 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
             # distribution both sides), the diagonal's requirement.
             from ..utils.backend import pallas_interpret
             rs = jax.lax.sort(bias_keys(shuf_r.keys, ~shuf_r.valid,
-                                        0xFFFFFFFF))
+                                        0xFFFFFFFF), is_stable=False)
             ss = jax.lax.sort(bias_keys(shuf_s.keys, ~shuf_s.valid,
-                                        0xFFFFFFFE))
+                                        0xFFFFFFFE), is_stable=False)
             matches, tiers_ok = probe_count_diagonal(
                 rs, ss, k_drift=cfg.diagonal_k,
                 rows_per_group=8 if pallas_interpret() else

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 
 from ..ops.buildprobe import (bias_keys, diagonal_prepad,
                               probe_count_diagonal, probe_count_merged)
+from ..ops.wide import (diagonal_prepad64, join64_count_keys,
+                        probe_count_diagonal64)
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -37,9 +39,11 @@ def _sort_biased(keys: jnp.ndarray) -> jnp.ndarray:
     """uint32 keys -> sorted biased-int32 (the diagonal probe's input form).
 
     Donation lets the backend reuse the input buffer for a sort pass, which
-    is what makes the 12 GB peak of 1B x 1B viable.
+    is what makes the 12 GB peak of 1B x 1B viable.  Unstable: stability
+    is meaningless for a keys-only operand and costs 2x on this chip
+    (measured at 2^29: 2.08 s stable vs 1.07 s unstable).
     """
-    return jax.lax.sort(bias_keys(keys))
+    return jax.lax.sort(bias_keys(keys), is_stable=False)
 
 
 def join_count_keys_inhbm(r_keys: jnp.ndarray, s_keys: jnp.ndarray,
@@ -147,6 +151,79 @@ def join_count_keys_runs(r_keys, s_keys,
     total = sum(int(m) for m, _ in parts)
     ok = all(bool(o) for _, o in parts)
     return total, ok
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _sort_biased64(hi: jnp.ndarray, lo: jnp.ndarray):
+    """uint32 (hi, lo) planes -> lex-sorted biased-int32 planes (the
+    diagonal64 probe's input form).  Stability is meaningless when every
+    operand is a key, and unstable sorts are measurably cheaper."""
+    return jax.lax.sort((bias_keys(hi), bias_keys(lo)), num_keys=2,
+                        is_stable=False)
+
+
+def join64_count_keys_runs(r_source, s_source,
+                           r_runs: int, s_runs: int,
+                           n_r_total: int, n_s_total: int,
+                           k_drift: int = 64,
+                           rows_per_group: int = 32,
+                           sync=None):
+    """64-bit-key count join via sorted-run decomposition — the wide-key
+    mirror of :func:`join_count_keys_runs` (reference keys are uint64,
+    data/Tuple.h:15-22; the 32-bit fast path covers only 4G domains).
+
+    Keys are (hi, lo) uint32 planes (8 B/tuple/side), so the two-operand
+    sort hits XLA's HBM scratch wall at HALF the 32-bit element count:
+    runs keep each per-run sort inside it.  Sources are callables
+    ``fn(run, n_runs) -> (hi, lo)`` materialising one run at a time.
+
+    Every pair is probed with the two-plane diagonal kernel
+    (ops/wide.py); pairs whose rank-drift/coverage check trips are
+    recomputed exactly with the keys-only concat-sort mergecount on the
+    already-sorted biased planes (bias preserves order and equality, and
+    the R/S padding sentinels differ in their lo word so pads can never
+    cross-match — they are sliced off anyway).
+
+    Returns (matches: int, ok: bool); ok False only if escalation itself
+    could not run (never, currently — kept for signature parity).
+    """
+    sync = sync or (lambda x: None)
+    assert n_r_total % r_runs == 0 and n_s_total % s_runs == 0
+    nr = n_r_total // r_runs
+    ns = n_s_total // s_runs
+
+    def prep(source, runs, side, n_side):
+        out = []
+        for i in range(runs):
+            hi, lo = source(i, runs)
+            assert hi.shape[0] == n_side
+            bh, bl = _sort_biased64(hi, lo)
+            ph, plo = diagonal_prepad64(bh, bl, side, nr, ns,
+                                        k_drift=k_drift,
+                                        rows_per_group=rows_per_group)
+            sync(ph)
+            out.append((ph, plo))
+        return out
+
+    rs_runs = prep(r_source, r_runs, "r", nr)
+    ss_runs = prep(s_source, s_runs, "s", ns)
+
+    pairs = [(rp, sp) for rp in rs_runs for sp in ss_runs]
+    parts = [probe_count_diagonal64(rh, rl, sh, sl, k_drift=k_drift,
+                                    rows_per_group=rows_per_group,
+                                    prepadded=(nr, ns))
+             for (rh, rl), (sh, sl) in pairs]
+    total = 0
+    for ((rh, rl), (sh, sl)), (m, okp) in zip(pairs, parts):
+        if bool(okp):
+            total += int(m)
+            continue
+        # Escalate this pair: slice off the sentinel padding, mergecount
+        # the biased planes (exact under arbitrary skew / degenerate hi).
+        total += int(join64_count_keys(
+            jax.lax.slice_in_dim(rh, 0, nr), jax.lax.slice_in_dim(rl, 0, nr),
+            jax.lax.slice_in_dim(sh, 0, ns), jax.lax.slice_in_dim(sl, 0, ns)))
+    return total, True
 
 
 def join_count_keys_skew_runs(r_source, s_source,
@@ -284,6 +361,41 @@ def gen_zipf_keys_run(n: int, domain: int, theta: float, seed: int):
     def source(run: int, n_runs: int) -> jnp.ndarray:
         return _gen_zipf_span(n // n_runs, domain, theta,
                               jax.random.fold_in(jax.random.key(seed), run))
+
+    return source
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _gen_span64(n: int, order_mult: int, hi_mult: int,
+                lo: int, hi: int):
+    j = jnp.arange(lo, hi, dtype=jnp.uint32)
+    i = (j * jnp.uint32(order_mult)) & jnp.uint32(n - 1)
+    # uint32 multiply wraps mod 2^32: lo plane injective over i in [0, n)
+    # (odd multiplier is invertible mod 2^32), hi plane well-spread.
+    return i * jnp.uint32(hi_mult), i * jnp.uint32(_LO64_MULT)
+
+
+_LO64_MULT = 0x9E3779B9          # odd: the lo-plane bijection
+
+
+def gen_unique_keys64_run(n: int, order_mult: int,
+                          hi_mult: int = 0x85EBCA77):
+    """``fn(run, n_runs) -> (hi, lo)`` source of dense unique 64-bit keys.
+
+    The self-validating wide-key workload: key64(i) = (i * hi_mult mod
+    2^32, i * LO64_MULT mod 2^32) for i in [0, n) — the lo plane alone is
+    a bijection, so the n keys are distinct 64-bit values with a
+    well-spread hi plane (the diagonal64 window search uses hi only).
+    Each side enumerates the SAME key set in a different order via its
+    ``order_mult`` index bijection (i = j * order_mult mod n, n = 2^k), so
+    matches == n exactly and run slices are balanced random samples.
+    """
+    assert n & (n - 1) == 0 and order_mult & 1 and hi_mult & 1
+
+    def source(run: int, n_runs: int):
+        nr = n // n_runs
+        return _gen_span64(n, order_mult, hi_mult,
+                           run * nr, (run + 1) * nr)
 
     return source
 

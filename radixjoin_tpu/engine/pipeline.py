@@ -35,7 +35,8 @@ from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation
 from ..ops.aggregate import aggregate_sum, aggregate_sum_sorted
 from ..ops.buildprobe import (bias_keys, join_materialize,
-                              join_materialize_windowed)
+                              join_materialize_windowed,
+                              join_materialize_windowed_multi)
 from ..ops.filter import filter_mask
 from ..utils.backend import pallas_interpret
 
@@ -113,6 +114,41 @@ def _fja_fast(r: Relation, s: Relation, r_pred, s_pred, max_groups: int,
                           jnp.sum(gvalid.astype(jnp.int32)), total), ok
 
 
+@functools.partial(jax.jit, static_argnames=("r_pred", "s_pred",
+                                             "max_groups", "value_of",
+                                             "max_matches"))
+def _fja_multi(r: Relation, s: Relation, r_pred, s_pred, max_groups: int,
+               value_of, max_matches: int = 4):
+    """Middle rung for payload aggregations with multi-match dim keys:
+    the M-plane windowed emit kernel materialises up to ``max_matches``
+    dim rids per fact row, and the aggregation sums value_of over the
+    valid planes.  ok=False when windows overflowed or some fact row
+    matched more than ``max_matches`` dim rows — escalate to the gather
+    fallback (which is always correct but ~6x slower at pipeline scale).
+    """
+    rk, sk = _shadow_keys(r, s, r_pred, s_pred)
+    fk, frid = jax.lax.sort((bias_keys(sk), s.rids), num_keys=1)
+    dk, drid = jax.lax.sort((bias_keys(rk), r.rids), num_keys=1)
+    gr = 8 if pallas_interpret() else 32
+    rid_planes, cnt, win_ok, overflow = join_materialize_windowed_multi(
+        fk, dk, drid, max_matches=max_matches, rows_per_group=gr)
+
+    total = jnp.sum(cnt)
+    out_key = jax.lax.bitcast_convert_type(fk, jnp.uint32) \
+        ^ jnp.uint32(0x80000000)
+    valid = cnt > 0
+    plane_ix = jnp.arange(max_matches, dtype=jnp.int32)[:, None]
+    per_plane = jnp.where(plane_ix < cnt[None, :],
+                          value_of(rid_planes.astype(jnp.uint32),
+                                   frid[None, :]), 0)
+    values = jnp.sum(per_plane, axis=0)
+    ok = win_ok & ~overflow
+    gk, gs, gvalid, _ = aggregate_sum_sorted(out_key, values, valid,
+                                             max_groups)
+    return PipelineResult(gk, gs, gvalid,
+                          jnp.sum(gvalid.astype(jnp.int32)), total), ok
+
+
 @functools.partial(jax.jit, static_argnames=("r_pred", "s_pred", "max_out",
                                              "max_groups", "value_of"))
 def _fja_reference(r: Relation, s: Relation, r_pred, s_pred, max_out: int,
@@ -145,12 +181,18 @@ def filter_join_aggregate(r: Relation, s: Relation,
        WHERE r_pred(r) AND s_pred(s) GROUP BY join key.
 
     - ``value_of(r_rid, s_rid) -> value`` defaults to counting (value 1).
-    - Tries the Pallas fast path first; on ok=False (window overflow, or —
-      for payload aggregations only — a fact row matched more than one dim
-      row) reruns via the reference materialisation bounded by ``max_out``.
+    - Tries the Pallas fast path first; for payload aggregations where a
+      fact row matched more than one dim row, retries with the M-plane
+      multi-match emit kernel (up to 4 dim rids per fact row); only
+      window overflow or match rates beyond that fall back to the
+      reference materialisation bounded by ``max_out``.
     """
     res, ok = _fja_fast(r, s, r_pred, s_pred, max_groups, value_of)
     if bool(ok):
         return res
+    if value_of is not None:
+        res, ok = _fja_multi(r, s, r_pred, s_pred, max_groups, value_of)
+        if bool(ok):
+            return res
     return _fja_reference(r, s, r_pred, s_pred, max_out, max_groups,
                           value_of)

@@ -627,14 +627,17 @@ def _probe_diag_kernel(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
 
 
 def _diag_geometry(n_r: int, n_s: int, k_drift: int, rows_per_group: int,
-                   band_blocks: int | None):
-    """Static shape plan shared by the probe and ``diagonal_prepad``."""
+                   band_blocks: int | None, budget: int = 1024):
+    """Static shape plan shared by the probe and ``diagonal_prepad``.
+
+    ``budget`` caps rows*K (live unrolled temporaries); the two-plane
+    64-bit kernel (ops/wide.py) halves it."""
     K = k_drift
     assert 1 <= K <= 120
     # Mosaic allocates VMEM stack for the whole statically-unrolled group
     # body (~ rows * shifts live temporaries); cap rows*K so large-K
     # configs stay inside the 16 MB scoped-vmem limit.
-    gr = min(rows_per_group, max(_ROWS, (1024 // K) // _ROWS * _ROWS))
+    gr = min(rows_per_group, max(_ROWS, (budget // K) // _ROWS * _ROWS))
     assert gr % _ROWS == 0 and gr <= 120
     if band_blocks is None:
         # Group span ~ gr*128 * |S|/|R| plus drift/realignment slack (the
@@ -914,32 +917,10 @@ def _emit_kernel(w, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref, srid_ref,
         cnt_out_ref[i:i + 1, :] = out_c
 
 
-@functools.partial(jax.jit, static_argnames=("window_rows", "rows_per_group",
-                                             "band_blocks", "interpret"))
-def join_materialize_windowed(r_sorted: jnp.ndarray,
-                              s_sorted: jnp.ndarray, s_rids: jnp.ndarray,
-                              window_rows: int = 4,
-                              rows_per_group: int = 32,
-                              band_blocks: int | None = None,
-                              interpret: bool | None = None):
-    """Materialising equi-join over key-sorted relations (biased int32 keys
-    from :func:`bias_keys`, int32 rids co-sorted with the keys).
-
-    Returns (s_rid_i32[n_r], count_i32[n_r], win_ok, multi) aligned to the
-    sorted R order: element i of R matched ``count[i]`` S rows; where
-    count == 1, ``s_rid[i]`` is its partner's rid (R's own rid for slot i
-    is simply the co-sorted R rid array).  ``win_ok`` False when any row's
-    S window exceeded ``window_rows`` rows / the DMA band — counts are then
-    unreliable, fall back to join_materialize.  ``multi`` True when some
-    count > 1: counts remain exact, but those elements' emitted rids are
-    rid-sums — rid consumers must fall back; counting consumers may
-    proceed on win_ok alone.
-    """
-    if interpret is None:
-        interpret = pallas_interpret()
-    w = window_rows
-    gr = rows_per_group
-    assert gr % _ROWS == 0 and gr <= 120
+def _windowed_prep(r_sorted, s_sorted, s_rids, w: int, gr: int,
+                   band_blocks: int | None):
+    """Host-side geometry + padding shared by the windowed emit kernels:
+    returns (wg, wmeta, r2d, s2d, srid2d, n_groups8, b8, win_ok_static)."""
     n_r = r_sorted.shape[0]
     n_s = s_sorted.shape[0]
 
@@ -992,6 +973,38 @@ def join_materialize_windowed(r_sorted: jnp.ndarray,
 
     wmeta = jnp.zeros((n_groups8, 128), jnp.int32)
     wmeta = wmeta.at[:, 1:1 + gr].set(base.reshape(n_groups8, gr))
+    return wg, wmeta, r2d, s2d, srid2d, n_groups8, b8, cover_ok & band_ok
+
+
+@functools.partial(jax.jit, static_argnames=("window_rows", "rows_per_group",
+                                             "band_blocks", "interpret"))
+def join_materialize_windowed(r_sorted: jnp.ndarray,
+                              s_sorted: jnp.ndarray, s_rids: jnp.ndarray,
+                              window_rows: int = 4,
+                              rows_per_group: int = 32,
+                              band_blocks: int | None = None,
+                              interpret: bool | None = None):
+    """Materialising equi-join over key-sorted relations (biased int32 keys
+    from :func:`bias_keys`, int32 rids co-sorted with the keys).
+
+    Returns (s_rid_i32[n_r], count_i32[n_r], win_ok, multi) aligned to the
+    sorted R order: element i of R matched ``count[i]`` S rows; where
+    count == 1, ``s_rid[i]`` is its partner's rid (R's own rid for slot i
+    is simply the co-sorted R rid array).  ``win_ok`` False when any row's
+    S window exceeded ``window_rows`` rows / the DMA band — counts are then
+    unreliable, fall back to join_materialize.  ``multi`` True when some
+    count > 1: counts remain exact, but those elements' emitted rids are
+    rid-sums — rid consumers must fall back; counting consumers may
+    proceed on win_ok alone.
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    w = window_rows
+    gr = rows_per_group
+    assert gr % _ROWS == 0 and gr <= 120
+    n_r = r_sorted.shape[0]
+    wg, wmeta, r2d, s2d, srid2d, n_groups8, b8, win_ok = _windowed_prep(
+        r_sorted, s_sorted, s_rids, w, gr, band_blocks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1028,9 +1041,164 @@ def join_materialize_windowed(r_sorted: jnp.ndarray,
     )(wg, wmeta, r2d, s2d, srid2d)
     out_rid = out_rid.reshape(-1)[:n_r]
     out_cnt = out_cnt.reshape(-1)[:n_r]
-    win_ok = cover_ok & band_ok
     multi = jnp.any(out_cnt > 1)
     return out_rid, out_cnt, win_ok, multi
+
+
+# ---------------------------------------------------------------------------
+# M-plane windowed emit — multi-match materialisation.
+#
+# The windowed emit kernel above collapses to a rid-SUM when an R element
+# matches more than one S row.  This variant routes each match to one of M
+# output planes: a running per-lane match count rides the fori_loop carry,
+# and within a shift a static cumsum over the w window rows assigns each
+# (row, lane) match its ordinal; plane p takes matches with ordinal p.
+# Counts stay exact under ANY match rate; planes hold the first M matched
+# rids per element (unordered across planes), and ``overflow`` flags
+# elements with cnt > M (the reference's multi-round probe_match_rate
+# protocol, kernels.cu:376-403, becomes a single bounded-M pass + exact
+# fallback).  All routing is 0/1 int32 algebra + lane rolls — no new
+# Mosaic surface vs the proven emit kernel.
+# ---------------------------------------------------------------------------
+
+
+def _emit_kernel_mplane(w, b8, gr, M, unroll, wg_ref, wmeta_ref, rk_ref,
+                        s_ref, srid_ref, *rest):
+    out_refs = rest[:M + 1]          # M rid planes + cnt
+    scr_k, scr_r, sem_k, sem_r = rest[M + 1:]
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    k = jax.lax.rem(g, _ROWS)
+
+    def band_dma(gi, sl):
+        return (pltpu.make_async_copy(
+                    s_ref.at[pl.ds(wg_ref[gi], b8), :], scr_k.at[sl],
+                    sem_k.at[sl]),
+                pltpu.make_async_copy(
+                    srid_ref.at[pl.ds(wg_ref[gi], b8), :], scr_r.at[sl],
+                    sem_r.at[sl]))
+
+    @pl.when(g == 0)
+    def _():
+        for c in band_dma(0, 0):
+            c.start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        for c in band_dma(g + 1, jax.lax.rem(g + 1, 2)):
+            c.start()
+
+    for c in band_dma(g, slot):
+        c.wait()
+
+    meta = wmeta_ref[pl.ds(k, 1), :]                    # (1, 128)
+    for i in range(gr):                                 # static unroll
+        base = meta[0, 1 + i]                           # window row in band
+        swin_k = scr_k[slot, pl.ds(base, w), :]         # (w, 128)
+        swin_r = scr_r[slot, pl.ds(base, w), :]
+        rrow = rk_ref[i:i + 1, :]
+
+        def shift_body(sh, carry, swin_k=swin_k, swin_r=swin_r, rrow=rrow):
+            run, planes = carry                         # run: count so far
+            rolled = pltpu.roll(rrow, sh, axis=1)
+            acc = pltpu.roll(run, sh, axis=1)           # j-space ordinal
+            run_j = acc
+            picks = [jnp.zeros((1, 128), jnp.int32) for _ in range(M)]
+            for t in range(w):
+                kt = swin_k[t:t + 1, :]
+                rt = swin_r[t:t + 1, :]
+                mt = (kt == rolled).astype(jnp.int32)
+                for p in range(M):
+                    sel = mt * (acc == p).astype(jnp.int32)
+                    picks[p] = picks[p] + sel * rt
+                acc = acc + mt
+            back = jax.lax.rem(128 - sh, 128)           # j -> l lane map
+            new_planes = tuple(
+                planes[p] + pltpu.roll(picks[p], back, axis=1)
+                for p in range(M))
+            return (run + pltpu.roll(acc - run_j, back, axis=1), new_planes)
+
+        # Mosaic accepts only unroll 1 or full; interpret mode (CPU tests)
+        # uses 1 — tracing the 128x-unrolled M-plane body per grid step is
+        # minutes-slow, and dynamic roll shifts are legal in [0, 128).
+        run, planes = jax.lax.fori_loop(
+            0, 128, shift_body,
+            (jnp.zeros((1, 128), jnp.int32),
+             tuple(jnp.zeros((1, 128), jnp.int32) for _ in range(M))),
+            unroll=unroll)
+        for p in range(M):
+            out_refs[p][i:i + 1, :] = planes[p]
+        out_refs[M][i:i + 1, :] = run
+
+
+@functools.partial(jax.jit, static_argnames=("max_matches", "window_rows",
+                                             "rows_per_group", "band_blocks",
+                                             "interpret"))
+def join_materialize_windowed_multi(r_sorted: jnp.ndarray,
+                                    s_sorted: jnp.ndarray,
+                                    s_rids: jnp.ndarray,
+                                    max_matches: int = 4,
+                                    window_rows: int = 4,
+                                    rows_per_group: int = 32,
+                                    band_blocks: int | None = None,
+                                    interpret: bool | None = None):
+    """Multi-match materialising equi-join over key-sorted relations.
+
+    Like :func:`join_materialize_windowed`, but emits up to
+    ``max_matches`` matched S rids PER R element into M output planes.
+    Returns (s_rid_i32[M, n_r], count_i32[n_r], win_ok, overflow): counts
+    are exact under any match rate; element i's matched rids are
+    ``s_rid[:count[i], i]`` (plane order arbitrary) when count <= M.
+    ``overflow`` True when some count > M (those elements' planes hold
+    only M of the rids — fall back to join_materialize).  ``win_ok`` as
+    in the single-plane kernel.
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    w = window_rows
+    gr = rows_per_group
+    M = max_matches
+    assert gr % _ROWS == 0 and gr <= 120 and 1 <= M <= 8
+    n_r = r_sorted.shape[0]
+    wg, wmeta, r2d, s2d, srid2d, n_groups8, b8, win_ok = _windowed_prep(
+        r_sorted, s_sorted, s_rids, w, gr, band_blocks)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups8,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(M + 1)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_emit_kernel_mplane, w, b8, gr, M,
+                          1 if interpret else 128),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_groups8 * gr, 128), jnp.int32)
+                   for _ in range(M + 1)],
+        interpret=interpret,
+    )(wg, wmeta, r2d, s2d, srid2d)
+    out_cnt = outs[M].reshape(-1)[:n_r]
+    out_rid = jnp.stack([o.reshape(-1)[:n_r] for o in outs[:M]])
+    overflow = jnp.any(out_cnt > M)
+    return out_rid, out_cnt, win_ok, overflow
 
 
 # ---------------------------------------------------------------------------

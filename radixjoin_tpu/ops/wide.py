@@ -74,6 +74,28 @@ def join64_count(r: Relation64, s: Relation64) -> jnp.ndarray:
     return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
 
 
+@jax.jit
+def join64_count_keys(r_hi, r_lo, s_hi, s_lo) -> jnp.ndarray:
+    """Keys-only exact 64-bit count (concat-sort mergecount) — the
+    escalation rung for run-pair probes at large N (engine/large.py),
+    where materialising rid planes would waste HBM.  Same scan scheme as
+    :func:`join64_count`."""
+    n_r = r_hi.shape[0]
+    hi = jnp.concatenate([r_hi, s_hi])
+    lo = jnp.concatenate([r_lo, s_lo])
+    side = jnp.concatenate([jnp.zeros((n_r,), jnp.int32),
+                            jnp.ones((s_hi.shape[0],), jnp.int32)])
+    shi, slo, stag = jax.lax.sort((hi, lo, side), num_keys=3,
+                                  is_stable=False)
+    change = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    cum_r = jnp.cumsum((stag == 0).astype(jnp.int32))
+    cum_r_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_r[:-1]])
+    base = jax.lax.cummax(jnp.where(change, cum_r_prev, 0), axis=0)
+    return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
+
+
 # ---------------------------------------------------------------------------
 # Wide diagonal rank-band probe — the 64-bit fast path.
 #
@@ -93,7 +115,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.backend import pallas_interpret
-from .buildprobe import bias_keys, _ROWS
+from .buildprobe import bias_keys, _ROWS, _diag_geometry
 
 _SENT_HI = 0x7FFFFFFF          # biased hi of both padding sentinels
 _R_SENT_LO = 0x7FFFFFFF        # biased lo of the R padding sentinel
@@ -220,54 +242,83 @@ def _probe_diag64_kernel(K, b8, gr, e_cap, wg_ref, rh_ref, rl_ref,
         + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol), 0)
 
 
+# Two key planes double the unrolled body's live temporaries: halve the
+# rows*K budget of the 32-bit kernel (see buildprobe._diag_geometry).
+_BUDGET64 = 512
+
+
+@functools.partial(jax.jit, static_argnames=("side", "n_r", "n_s", "k_drift",
+                                             "rows_per_group", "band_blocks"))
+def diagonal_prepad64(sorted_hi: jnp.ndarray, sorted_lo: jnp.ndarray,
+                      side: str, n_r: int, n_s: int,
+                      k_drift: int = 16, rows_per_group: int = 32,
+                      band_blocks: int | None = None):
+    """Sentinel-pad ONE lex-sorted (hi, lo) side for paired diagonal
+    probes — the 64-bit mirror of buildprobe.diagonal_prepad (pad each
+    sorted run once; pass ``prepadded=(n_r, n_s)`` to the probe so pair
+    probes trigger no padding copies)."""
+    _, _, _, _, n_r_pad, n_s_pad = _diag_geometry(
+        n_r, n_s, k_drift, rows_per_group, band_blocks, budget=_BUDGET64)
+    if side == "r":
+        assert sorted_hi.shape[0] == n_r
+        pad = n_r_pad - n_r
+        sent_lo = _R_SENT_LO
+    else:
+        assert side == "s" and sorted_hi.shape[0] == n_s
+        pad = n_s_pad - n_s
+        sent_lo = _S_SENT_LO
+    return (jnp.concatenate(
+                [sorted_hi, jnp.full((pad,), jnp.int32(_SENT_HI))]),
+            jnp.concatenate(
+                [sorted_lo, jnp.full((pad,), jnp.int32(sent_lo))]))
+
+
 @functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group",
-                                             "band_blocks", "interpret"))
+                                             "band_blocks", "interpret",
+                                             "prepadded"))
 def probe_count_diagonal64(r_hi, r_lo, s_hi, s_lo,
                            k_drift: int = 16,
                            rows_per_group: int = 32,
                            band_blocks: int | None = None,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           prepadded: tuple[int, int] | None = None):
     """Diagonal rank-band count join over lex-sorted biased (hi, lo) pairs.
 
     Inputs come from ``jax.lax.sort((bias(hi), bias(lo)), num_keys=2)``.
     Returns (total_i32, ok); ok False -> escalate to join64_count.
+
+    ``prepadded=(n_r, n_s)``: inputs already carry the sentinel padding
+    from :func:`diagonal_prepad64` (same k_drift / rows_per_group /
+    band_blocks); n_r/n_s are the true unpadded sizes.
     """
     if interpret is None:
         interpret = pallas_interpret()
     K = k_drift
-    assert 1 <= K <= 120
-    # Two key planes double the unrolled body's live temporaries; cap
-    # rows*K at half the 32-bit kernel's budget (see probe_count_diagonal).
-    gr = min(rows_per_group, max(_ROWS, (512 // K) // _ROWS * _ROWS))
-    assert gr % _ROWS == 0 and gr <= 120
-    n_r = r_hi.shape[0]
-    n_s = s_hi.shape[0]
+    if prepadded is not None:
+        n_r, n_s = prepadded
+    else:
+        n_r = r_hi.shape[0]
+        n_s = s_hi.shape[0]
+    gr, b8, gelems, n_groups8, n_r_pad, n_s_pad = _diag_geometry(
+        n_r, n_s, K, rows_per_group, band_blocks, budget=_BUDGET64)
 
-    if band_blocks is None:
-        # +512: the coarse band start begins up to 2 rows early (cf.
-        # probe_count_diagonal).
-        span = (gr * 128 * n_s + n_r - 1) // n_r
-        band_blocks = (span + 1024 + 2 * K + 512) // 1024 + 1
-    b8 = band_blocks * _ROWS
-
-    gelems = gr * 128
-    n_groups = (n_r + gelems - 1) // gelems
-    n_groups8 = ((n_groups + _ROWS - 1) // _ROWS) * _ROWS
-    n_r_pad = n_groups8 * gelems
     rh, rl = r_hi, r_lo
-    if n_r_pad != n_r:
-        rh = jnp.concatenate(
-            [rh, jnp.full((n_r_pad - n_r,), jnp.int32(_SENT_HI))])
-        rl = jnp.concatenate(
-            [rl, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_LO))])
+    if prepadded is not None:
+        assert rh.shape[0] == n_r_pad and s_hi.shape[0] == n_s_pad, \
+            "prepadded shapes disagree with geometry (same params?)"
+        sh_p, sl_p = s_hi, s_lo
+    else:
+        if n_r_pad != n_r:
+            rh = jnp.concatenate(
+                [rh, jnp.full((n_r_pad - n_r,), jnp.int32(_SENT_HI))])
+            rl = jnp.concatenate(
+                [rl, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_LO))])
+        sh_p = jnp.concatenate(
+            [s_hi, jnp.full((n_s_pad - n_s,), jnp.int32(_SENT_HI))])
+        sl_p = jnp.concatenate(
+            [s_lo, jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_LO))])
     r2h = rh.reshape(-1, 128)
     r2l = rl.reshape(-1, 128)
-
-    n_s_pad = ((n_s + 127) // 128) * 128 + b8 * 128
-    sh_p = jnp.concatenate(
-        [s_hi, jnp.full((n_s_pad - n_s,), jnp.int32(_SENT_HI))])
-    sl_p = jnp.concatenate(
-        [s_lo, jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_LO))])
     s2h = sh_p.reshape(-1, 128)
     s2l = sl_p.reshape(-1, 128)
     s_max_row = s2h.shape[0] - b8

@@ -498,3 +498,48 @@ def test_skew_runs_decomposition():
     ssrc = lambda j, ns: sj[j * (n // ns):(j + 1) * (n // ns)]
     got, ok = join_count_keys_skew_runs(rsrc, ssrc, 2, 2, n, n)
     assert ok and got == want
+
+
+def test_pipeline_multimatch_payload_multi_rung():
+    # Match rate 2 <= max_matches: the M-plane middle rung must hold
+    # (ok=True) and agree with the reference materialisation.
+    n = 1 << 10
+    rk = np.concatenate([np.arange(n // 2, dtype=np.uint32),
+                         np.arange(n // 2, dtype=np.uint32)])
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = gen.fill_modulo(n, jax.random.key(21), n // 2)
+    value_of = lambda rr, sr: (rr % 7 + sr % 5).astype(jnp.int32)
+    from radixjoin_tpu.engine.pipeline import _fja_multi, _fja_reference
+    res, ok = _fja_multi(r, s, None, None, 1024, value_of)
+    assert bool(ok)
+    ref = _fja_reference(r, s, None, None, 8 * n, 1024, value_of)
+    ga = {int(k): int(v) for k, v, m in zip(
+        np.asarray(res.group_keys), np.asarray(res.group_sums),
+        np.asarray(res.group_valid)) if m}
+    gb = {int(k): int(v) for k, v, m in zip(
+        np.asarray(ref.group_keys), np.asarray(ref.group_sums),
+        np.asarray(ref.group_valid)) if m}
+    assert ga == gb and int(res.join_count) == int(ref.join_count)
+
+
+def test_pipeline_multimatch_beyond_m_falls_back():
+    # Match rate 6 > max_matches=4: the multi rung must flag overflow and
+    # filter_join_aggregate must still return the exact reference result.
+    n = 1 << 9
+    rk = np.tile(np.arange(n // 8, dtype=np.uint32), 6)
+    r = make_relation(rk, np.arange(len(rk), dtype=np.uint32))
+    s = gen.fill_modulo(n, jax.random.key(22), n // 8)
+    value_of = lambda rr, sr: (rr % 7 + sr % 5).astype(jnp.int32)
+    from radixjoin_tpu.engine.pipeline import _fja_multi, _fja_reference
+    _, ok = _fja_multi(r, s, None, None, 1024, value_of)
+    assert not bool(ok)
+    res = filter_join_aggregate(r, s, None, None, max_out=16 * n,
+                                max_groups=1024, value_of=value_of)
+    ref = _fja_reference(r, s, None, None, 16 * n, 1024, value_of)
+    ga = {int(k): int(v) for k, v, m in zip(
+        np.asarray(res.group_keys), np.asarray(res.group_sums),
+        np.asarray(res.group_valid)) if m}
+    gb = {int(k): int(v) for k, v, m in zip(
+        np.asarray(ref.group_keys), np.asarray(ref.group_sums),
+        np.asarray(ref.group_valid)) if m}
+    assert ga == gb

@@ -545,3 +545,51 @@ def test_crossbar_row_digit_sort():
                                kind="stable")
             np.testing.assert_array_equal(ok[r], k2[r][order])
             np.testing.assert_array_equal(op[r], p2[r][order])
+
+
+def test_join_materialize_windowed_multi_planes():
+    # dim side with up to 3 duplicates per key: the M-plane kernel must
+    # emit the exact rid SET per fact element (plane order is free)
+    rng = np.random.default_rng(36)
+    n_f = 2048
+    fk = rng.integers(0, 700, n_f).astype(np.uint32)
+    dk = np.concatenate([np.arange(700, dtype=np.uint32),
+                         np.arange(350, dtype=np.uint32),
+                         np.arange(200, dtype=np.uint32)])
+    n_d = len(dk)
+    drid = rng.permutation(n_d).astype(np.uint32)
+    frid = np.arange(n_f, dtype=np.uint32)
+    fs, fr = jax.lax.sort((bp.bias_keys(jnp.asarray(fk)),
+                           jnp.asarray(frid)), num_keys=1)
+    ds, dr = jax.lax.sort((bp.bias_keys(jnp.asarray(dk), None, 0xFFFFFFFE),
+                           jnp.asarray(drid)), num_keys=1)
+    planes, cnt, win_ok, overflow = bp.join_materialize_windowed_multi(
+        fs, ds, dr, max_matches=4, rows_per_group=8)
+    assert bool(win_ok) and not bool(overflow)
+    from collections import defaultdict
+    lut = defaultdict(set)
+    for k, v in zip(dk, drid):
+        lut[int(k)].add(int(v))
+    fs_keys = np.asarray(jax.lax.bitcast_convert_type(fs, jnp.uint32)
+                         ^ jnp.uint32(0x80000000))
+    planes = np.asarray(planes)
+    cnt = np.asarray(cnt)
+    for i in range(n_f):
+        want = lut.get(int(fs_keys[i]), set())
+        assert cnt[i] == len(want), i
+        assert set(planes[:cnt[i], i].tolist()) == want, i
+
+
+def test_join_materialize_windowed_multi_overflow_flag():
+    # 6 duplicates per dim key > max_matches=4 -> overflow must flip,
+    # counts must stay exact
+    fk = np.arange(128, dtype=np.uint32)
+    dk = np.tile(np.arange(128, dtype=np.uint32), 6)
+    fs = jnp.sort(bp.bias_keys(jnp.asarray(fk)))
+    ds, dr = jax.lax.sort(
+        (bp.bias_keys(jnp.asarray(dk), None, 0xFFFFFFFE),
+         jnp.arange(len(dk), dtype=jnp.uint32)), num_keys=1)
+    planes, cnt, win_ok, overflow = bp.join_materialize_windowed_multi(
+        fs, ds, dr, max_matches=4, rows_per_group=8, window_rows=8)
+    assert bool(overflow)
+    np.testing.assert_array_equal(np.asarray(cnt), np.full(128, 6))

@@ -96,3 +96,113 @@ def test_join64_fast_duplicates_and_drift():
                          64)
     if bool(ok):
         assert int(m) == want
+
+
+# ------------------------- large-N runs path (64-bit) -------------------------
+
+def _np_count_from_planes(r_hi, r_lo, s_hi, s_lo):
+    r64 = (np.asarray(r_hi, np.uint64) << np.uint64(32)) | np.asarray(r_lo, np.uint64)
+    s64 = (np.asarray(s_hi, np.uint64) << np.uint64(32)) | np.asarray(s_lo, np.uint64)
+    return _np_join_count64(r64, s64)
+
+
+def test_join64_runs_unique_oracle():
+    from radixjoin_tpu.engine.large import (gen_unique_keys64_run,
+                                            join64_count_keys_runs)
+    n = 1 << 14
+    rsrc = gen_unique_keys64_run(n, 2654435761 | 1)
+    ssrc = gen_unique_keys64_run(n, 0x9E3779B1 ^ 0x40)
+    m, ok = join64_count_keys_runs(rsrc, ssrc, r_runs=2, s_runs=2,
+                                   n_r_total=n, n_s_total=n)
+    assert ok and m == n
+
+
+def test_join64_runs_vs_numpy_random():
+    from radixjoin_tpu.engine.large import join64_count_keys_runs
+    rng = np.random.default_rng(63)
+    n = 1 << 13
+    r_hi = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    r_lo = rng.integers(0, 1 << 10, n, dtype=np.uint64).astype(np.uint32)
+    s_hi = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    s_lo = rng.integers(0, 1 << 10, n, dtype=np.uint64).astype(np.uint32)
+    # overlap half the keys so matches exist
+    s_hi[: n // 2] = r_hi[: n // 2]
+    s_lo[: n // 2] = r_lo[: n // 2]
+    want = _np_count_from_planes(r_hi, r_lo, s_hi, s_lo)
+
+    import jax.numpy as jnp
+
+    def src(hi, lo):
+        def f(run, n_runs):
+            nr = len(hi) // n_runs
+            sl = slice(run * nr, (run + 1) * nr)
+            return jnp.asarray(hi[sl]), jnp.asarray(lo[sl])
+        return f
+
+    m, ok = join64_count_keys_runs(src(r_hi, r_lo), src(s_hi, s_lo),
+                                   r_runs=2, s_runs=2,
+                                   n_r_total=n, n_s_total=n)
+    assert ok and m == want
+
+
+def test_join64_runs_skew_escalates_exact():
+    # one mega-duplicate key forces drift violations in some pair probes;
+    # the per-pair mergecount escalation must keep the total exact.
+    from radixjoin_tpu.engine.large import join64_count_keys_runs
+    rng = np.random.default_rng(64)
+    n = 1 << 12
+    hi = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    lo = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    hi[: n // 4] = 0x12345678
+    lo[: n // 4] = 0x9ABCDEF0
+    s_hi, s_lo = hi.copy(), lo.copy()
+    rng.shuffle(s_hi)  # decorrelate positions (keys differ after shuffle:
+    s_hi, s_lo = hi[rng.permutation(n)], lo[rng.permutation(n)]
+    want = _np_count_from_planes(hi, lo, s_hi, s_lo)
+
+    import jax.numpy as jnp
+
+    def src(h, l):
+        def f(run, n_runs):
+            nr = len(h) // n_runs
+            sl = slice(run * nr, (run + 1) * nr)
+            return jnp.asarray(h[sl]), jnp.asarray(l[sl])
+        return f
+
+    m, ok = join64_count_keys_runs(src(hi, lo), src(s_hi, s_lo),
+                                   r_runs=2, s_runs=2,
+                                   n_r_total=n, n_s_total=n)
+    assert ok and m == want
+
+
+def test_gen_unique_keys64_avoids_reserved_domain():
+    # the top 16 values of the 64-bit domain are padding sentinels; the
+    # dense-unique generator must never emit them for the bench multipliers
+    from radixjoin_tpu.engine.large import _LO64_MULT
+    for hi_mult in (0x85EBCA77,):
+        inv = pow(hi_mult, -1, 1 << 32)
+        i0 = (inv * 0xFFFFFFFF) % (1 << 32)
+        lo0 = (i0 * _LO64_MULT) % (1 << 32)
+        assert lo0 < 0xFFFFFFF0, "generator hits reserved sentinel domain"
+
+
+def test_diagonal_prepad64_matches_unpadded():
+    import jax
+    import jax.numpy as jnp
+    from radixjoin_tpu.engine.large import _sort_biased64
+    from radixjoin_tpu.ops.wide import (diagonal_prepad64,
+                                        probe_count_diagonal64)
+    rng = np.random.default_rng(65)
+    n = 4096
+    r_hi = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    r_lo = rng.integers(0, 4, n, dtype=np.uint64).astype(np.uint32)
+    s_hi = r_hi[rng.permutation(n)]
+    s_lo = rng.integers(0, 4, n, dtype=np.uint64).astype(np.uint32)
+    rh, rl = _sort_biased64(jnp.asarray(r_hi), jnp.asarray(r_lo))
+    sh, sl = _sort_biased64(jnp.asarray(s_hi), jnp.asarray(s_lo))
+    m0, ok0 = probe_count_diagonal64(rh, rl, sh, sl, k_drift=32)
+    ph, plo = diagonal_prepad64(rh, rl, "r", n, n, k_drift=32)
+    qh, qlo = diagonal_prepad64(sh, sl, "s", n, n, k_drift=32)
+    m1, ok1 = probe_count_diagonal64(ph, plo, qh, qlo, k_drift=32,
+                                     prepadded=(n, n))
+    assert int(m0) == int(m1) and bool(ok0) == bool(ok1)
