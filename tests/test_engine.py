@@ -501,6 +501,10 @@ def test_skew_runs_decomposition():
 
 
 def test_pipeline_multimatch_payload_multi_rung():
+    # The M-plane interpret-mode compile is large; on top of ~50 tests'
+    # accumulated XLA:CPU code mappings it segfaults LLVM (the
+    # vm.max_map_count class, cf. conftest) — start from a clean cache.
+    jax.clear_caches()
     # Match rate 2 <= max_matches: the M-plane middle rung must hold
     # (ok=True) and agree with the reference materialisation.
     n = 1 << 10
@@ -523,6 +527,10 @@ def test_pipeline_multimatch_payload_multi_rung():
 
 
 def test_pipeline_multimatch_beyond_m_falls_back():
+    # The M-plane interpret-mode compile is large; on top of ~50 tests'
+    # accumulated XLA:CPU code mappings it segfaults LLVM (the
+    # vm.max_map_count class, cf. conftest) — start from a clean cache.
+    jax.clear_caches()
     # Match rate 6 > max_matches=4: the multi rung must flag overflow and
     # filter_join_aggregate must still return the exact reference result.
     n = 1 << 9

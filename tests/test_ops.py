@@ -548,6 +548,10 @@ def test_crossbar_row_digit_sort():
 
 
 def test_join_materialize_windowed_multi_planes():
+    # The M-plane interpret-mode compile is large; on top of ~50 tests'
+    # accumulated XLA:CPU code mappings it segfaults LLVM (the
+    # vm.max_map_count class, cf. conftest) — start from a clean cache.
+    jax.clear_caches()
     # dim side with up to 3 duplicates per key: the M-plane kernel must
     # emit the exact rid SET per fact element (plane order is free)
     rng = np.random.default_rng(36)
@@ -581,6 +585,10 @@ def test_join_materialize_windowed_multi_planes():
 
 
 def test_join_materialize_windowed_multi_overflow_flag():
+    # The M-plane interpret-mode compile is large; on top of ~50 tests'
+    # accumulated XLA:CPU code mappings it segfaults LLVM (the
+    # vm.max_map_count class, cf. conftest) — start from a clean cache.
+    jax.clear_caches()
     # 6 duplicates per dim key > max_matches=4 -> overflow must flip,
     # counts must stay exact
     fk = np.arange(128, dtype=np.uint32)
