@@ -187,9 +187,10 @@ def run_northstar64_config(n: int, reps: int, meas, runs_shift: int = 28):
     ssrc = gen_unique_keys64_run(n, 0x9E3779B1 ^ 0x40)
     # k_drift=16 (not the 16.7M default 64): gr scales as 512//k and the
     # per-group SMEM prefetch array caps at ~240K groups — at 2^28-element
-    # runs only k<=16 (gr=32) fits, and the well-spread hi plane of this
-    # workload keeps rank drift well inside +-16.
-    k = 16 if n >> max(0, runs_shift) > (1 << 24) else 64
+    # runs only k<=16 (gr=32) fits (K=64 fails Mosaic compile by 1.1 KB),
+    # and the well-spread hi plane keeps rank drift well inside +-16.
+    # The threshold is the PER-RUN element count, not the run count.
+    k = 16 if (n // runs) > (1 << 24) else 64
     got = None
     with meas.phase("JOIN", tuples=2 * n * reps):
         for _ in range(reps):

@@ -31,8 +31,8 @@ from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation, radix_bits
 from ..ops import skew as skew_ops
 from ..ops.buildprobe import (probe_count_tiered, probe_count_banded,
-                              probe_count_diagonal, bias_keys,
-                              join_materialize)
+                              probe_count_diagonal, probe_count_merged,
+                              bias_keys, join_materialize)
 from ..ops.partition import partition_relation
 from ..parallel.metadata import compute_metadata
 from ..parallel.shuffle import shuffle_by_destination, shuffle_chunked
@@ -76,11 +76,21 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                           shuffle_rounds: int = 1,
                           skew_aware: bool = False,
                           local_probe: str = "tiered",
-                          materialize_max_out: int | None = None):
+                          materialize_max_out: int | None = None,
+                          full_capacity: bool = False):
     """Build the jitted SPMD join for given static per-shard sizes.
 
     Returns fn(r: Relation, s: Relation) -> DistributedJoinResult where the
     relations are sharded along the mesh axis (row-sharded SoA arrays).
+
+    ``local_probe="mergecount"`` is the terminal distributed rung: the
+    received shard is counted with the gather-free concat-sort mergecount
+    (exact under arbitrary skew, no tier/window capacity to overflow).
+    ``full_capacity=True`` sizes the shuffle so every tuple of a shard can
+    target ONE device (capacity = per-shard size) — shuffle overflow
+    becomes impossible by construction, at n_dev x receive-buffer cost.
+    Together they make a distributed join whose only failure mode is the
+    all-written invariant itself (reference data/Window.cpp:180-191).
     """
     axis = cfg.mesh_axis
     n_dev = mesh.devices.size
@@ -91,8 +101,13 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
     assert not (materialize_max_out is not None and skew_aware), (
         "materialising join emits rows; the heavy-hitter pre-pass only "
         "counts — combine is not supported yet")
-    cap_r = cfg.shuffle_capacity(n_r_shard, n_dev)
-    cap_s = cfg.shuffle_capacity(n_s_shard, n_dev)
+    if full_capacity:
+        from ..config import next_multiple
+        cap_r = next_multiple(n_r_shard, 128)
+        cap_s = next_multiple(n_s_shard, 128)
+    else:
+        cap_r = cfg.shuffle_capacity(n_r_shard, n_dev)
+        cap_s = cfg.shuffle_capacity(n_s_shard, n_dev)
     if shuffle_rounds > 1:
         # round-sliced exchange needs divisibility
         cap_r = ((cap_r + shuffle_rounds - 1) // shuffle_rounds) * shuffle_rounds
@@ -183,6 +198,20 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         # within an owned partition, so only higher bits spread the data.
         r_rel = Relation(shuf_r.keys, shuf_r.rids)
         s_rel = Relation(shuf_s.keys, shuf_s.rids)
+        if local_probe == "mergecount" and materialize_max_out is None:
+            # Terminal rung: concat-sort mergecount of the received shard
+            # (engine/join.py mode="mergecount") — exact under arbitrary
+            # skew/dup structure, nothing to overflow.  Invalid shuffle
+            # slots get side-distinct out-of-domain sentinels (the key
+            # domain is [0, 2^32-16)) so padding can never cross-match.
+            rk_m = jnp.where(shuf_r.valid, shuf_r.keys,
+                             jnp.uint32(0xFFFFFFFF))
+            sk_m = jnp.where(shuf_s.valid, shuf_s.keys,
+                             jnp.uint32(0xFFFFFFFE))
+            matches = probe_count_merged(rk_m, sk_m)
+            return (matches[None].astype(jnp.int32), ok[None],
+                    meta_r.global_hist, meta_s.global_hist,
+                    heavy_cr[None], heavy_cs[None])
         if local_probe == "diagonal" and materialize_max_out is None:
             # Fastest local rung (engine/join.py mode="diagonal"): a full
             # key sort of the received shard replaces the second radix
@@ -267,5 +296,45 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         if materialize_max_out is not None:
             return DistributedJoinRows(*out)
         return DistributedJoinResult(*out)
+
+    return run
+
+
+def make_distributed_join_checked(mesh: Mesh, n_r_shard: int,
+                                  n_s_shard: int,
+                                  cfg: JoinConfig = DEFAULT_CONFIG,
+                                  **kw):
+    """Distributed join with overflow ESCALATION — the mesh-level mirror of
+    ``join_count_checked`` (engine/join.py): run the configured fast join;
+    if any shard reports ok=False (shuffle-capacity overflow, probe
+    tier/window overflow, or a tripped diagonal coverage check), rerun
+    through the terminal rung — full-capacity shuffle + per-shard
+    mergecount — which cannot overflow by construction.
+
+    The reference has no such recovery: its invariant violations abort the
+    rank (data/Window.cpp:180-191, utils/Debug.h:27-37).  Here no input can
+    yield a wrong count: the answer is exact or the run escalates.
+
+    Returns ``fn(r, s) -> (total_matches: int, escalated: bool)``.  The
+    terminal executable is compiled lazily on first escalation.
+    """
+    fast = make_distributed_join(mesh, n_r_shard, n_s_shard, cfg, **kw)
+    skew = kw.get("skew_aware", False)
+    terminal = None
+
+    def run(r: Relation, s: Relation):
+        nonlocal terminal
+        res = fast(r, s)
+        if bool(np.all(np.asarray(res.ok))):
+            return total_distributed_matches(res), False
+        if terminal is None:
+            terminal = make_distributed_join(
+                mesh, n_r_shard, n_s_shard, cfg,
+                local_probe="mergecount", full_capacity=True,
+                skew_aware=skew)
+        res = terminal(r, s)
+        assert bool(np.all(np.asarray(res.ok))), (
+            "all-written invariant failed in the terminal rung")
+        return total_distributed_matches(res), True
 
     return run

@@ -22,6 +22,7 @@ whenever the key arrays fit.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -29,8 +30,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.buildprobe import (bias_keys, diagonal_prepad,
-                              probe_count_diagonal, probe_count_merged)
-from ..ops.wide import (diagonal_prepad64, join64_count_keys,
+                              probe_count_diagonal,
+                              probe_count_merged_exact)
+from ..ops.wide import (diagonal_prepad64, join64_count_keys_exact,
                         probe_count_diagonal64)
 
 
@@ -75,7 +77,8 @@ def join_count_keys_runs(r_keys, s_keys,
                          rows_per_group: int = 32,
                          sync=None,
                          n_r_total: int | None = None,
-                         n_s_total: int | None = None):
+                         n_s_total: int | None = None,
+                         meas=None):
     """Count join via sorted-RUN decomposition: XLA's sort OOMs beyond
     2^29 u32 elements on a 16 GB chip (measured: a solo 1B lax.sort
     exhausts HBM — its scratch is ~2x the operand), so each side is split
@@ -113,8 +116,13 @@ def join_count_keys_runs(r_keys, s_keys,
             return given
         return keys.shape[0]
 
-    nr = total_of(r_keys, n_r_total) // r_runs
-    ns = total_of(s_keys, n_s_total) // s_runs
+    n_r_total = total_of(r_keys, n_r_total)
+    n_s_total = total_of(s_keys, n_s_total)
+    # Divisibility must hold for callable sources too: a truncating split
+    # would silently drop the remainder keys from the count.
+    assert n_r_total % r_runs == 0 and n_s_total % s_runs == 0
+    nr = n_r_total // r_runs
+    ns = n_s_total // s_runs
 
     def run_parts(keys, runs):
         if callable(keys):
@@ -126,30 +134,43 @@ def join_count_keys_runs(r_keys, s_keys,
     # internal padding would otherwise copy both sides on EVERY pair
     # probe, and at 4x2GB resident that transient is what exhausts HBM.
     # All runs share one geometry: (nr, ns) are equal across runs.
+    # Per-run sync keeps peak residency deterministic (buffers are
+    # allocated at enqueue on this backend): each run's sort scratch
+    # (~2x operand) is retired before the next run materialises.
+    def _phase(name, tuples=0):
+        if meas is None:
+            return contextlib.nullcontext()
+        return meas.phase(name, tuples=tuples)
+
     rs_runs = []
-    for part in run_parts(r_keys, r_runs):
-        assert part.shape[0] == nr
-        rp = diagonal_prepad(_sort_biased(part), "r", nr, ns,
-                             k_drift=k_drift, rows_per_group=rows_per_group)
-        sync(rp)
-        rs_runs.append(rp)
+    with _phase("GEN_SORT_R", tuples=n_r_total):
+        for part in run_parts(r_keys, r_runs):
+            assert part.shape[0] == nr
+            rp = diagonal_prepad(_sort_biased(part), "r", nr, ns,
+                                 k_drift=k_drift,
+                                 rows_per_group=rows_per_group)
+            sync(rp)
+            rs_runs.append(rp)
     ss_runs = []
-    for part in run_parts(s_keys, s_runs):
-        assert part.shape[0] == ns
-        sp = diagonal_prepad(_sort_biased(part), "s", nr, ns,
-                             k_drift=k_drift, rows_per_group=rows_per_group)
-        sync(sp)
-        ss_runs.append(sp)
+    with _phase("GEN_SORT_S", tuples=n_s_total):
+        for part in run_parts(s_keys, s_runs):
+            assert part.shape[0] == ns
+            sp = diagonal_prepad(_sort_biased(part), "s", nr, ns,
+                                 k_drift=k_drift,
+                                 rows_per_group=rows_per_group)
+            sync(sp)
+            ss_runs.append(sp)
 
     # Dispatch every pair probe before pulling any result: outputs are
     # tiny, inputs are already resident, and batching saves one relay
     # round-trip per pair.
-    parts = [probe_count_diagonal(rs, ss, k_drift=k_drift,
-                                  rows_per_group=rows_per_group,
-                                  prepadded=(nr, ns))
-             for rs in rs_runs for ss in ss_runs]
-    total = sum(int(m) for m, _ in parts)
-    ok = all(bool(o) for _, o in parts)
+    with _phase("PROBE", tuples=n_r_total + n_s_total):
+        parts = [probe_count_diagonal(rs, ss, k_drift=k_drift,
+                                      rows_per_group=rows_per_group,
+                                      prepadded=(nr, ns))
+                 for rs in rs_runs for ss in ss_runs]
+        total = sum(int(m) for m, _ in parts)
+        ok = all(bool(o) for _, o in parts)
     return total, ok
 
 
@@ -219,10 +240,12 @@ def join64_count_keys_runs(r_source, s_source,
             total += int(m)
             continue
         # Escalate this pair: slice off the sentinel padding, mergecount
-        # the biased planes (exact under arbitrary skew / degenerate hi).
-        total += int(join64_count_keys(
+        # the biased planes (exact under arbitrary skew / degenerate hi;
+        # host-finished 64-bit reduction, so a pair with >2^31 matches
+        # cannot wrap — the rung that justifies ok=True below).
+        total += join64_count_keys_exact(
             jax.lax.slice_in_dim(rh, 0, nr), jax.lax.slice_in_dim(rl, 0, nr),
-            jax.lax.slice_in_dim(sh, 0, ns), jax.lax.slice_in_dim(sl, 0, ns)))
+            jax.lax.slice_in_dim(sh, 0, ns), jax.lax.slice_in_dim(sl, 0, ns))
     return total, True
 
 
@@ -316,8 +339,13 @@ def join_count_keys_skew_runs(r_source, s_source,
         for j in range(s_runs):
             sk_eff = _eff(s_source(j, s_runs), hh.keys, hh.valid,
                           jnp.uint32(0xFFFFFFFE))
-            m = probe_count_merged(rk_eff, sk_eff)
-            light_total += int(m)
+            # Host-finished 64-bit mergecount: with BOTH sides skewed,
+            # second-tier keys the bounded heavy detector missed can give
+            # a pair >2^31 matches — the int32 device total would wrap
+            # silently while ok=True.  Exactness here makes the heavy
+            # pre-pass a pure routing optimisation, never a correctness
+            # dependency.
+            light_total += probe_count_merged_exact(rk_eff, sk_eff)
     return light_total + heavy_total, True
 
 
@@ -344,6 +372,12 @@ def gen_unique_keys(n: int, odd_mult: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _gen_zipf_span(nr: int, domain: int, theta: float, key) -> jnp.ndarray:
     # Analytic inverse-CDF Zipf (cf. data/relation.py fill_zipf), keys only.
+    # float32 inverse CDF: tail values past 2^24 are quantised to
+    # representable floats, mildly distorting the deep tail vs the exact
+    # integer Zipf (bench realism only — join correctness is unaffected,
+    # and the head/heavy-hitter mass the skew machinery exercises is
+    # exact).  x64 stays off engine-wide, so the fix would be a host-side
+    # float64 table; not worth it for a generator.
     u = jax.random.uniform(key, (nr,), dtype=jnp.float32,
                            minval=1e-7, maxval=1.0)
     th = theta if abs(theta - 1.0) >= 1e-6 else 1.0 + 1e-4

@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -66,10 +67,11 @@ def probe_count_reference(r_keys: jnp.ndarray, s_keys: jnp.ndarray
     return probe_count_sorted(jnp.sort(r_keys), s_keys)
 
 
-@jax.jit
-def probe_count_merged(r_keys: jnp.ndarray, s_keys: jnp.ndarray
-                       ) -> jnp.ndarray:
-    """Gather-free exact count via one concat-sort (any skew, any dups).
+def _merged_contrib(r_keys: jnp.ndarray, s_keys: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Per-element int32 match contributions of the concat-sort mergecount
+    (each element's value is <= |R|, so individual entries never overflow;
+    only their SUM can — see probe_count_merged_exact).
 
     Sort [R ++ S] by (key, side); within every equal-key run all R rows
     precede all S rows, so each S element contributes (R rows before it)
@@ -105,7 +107,47 @@ def probe_count_merged(r_keys: jnp.ndarray, s_keys: jnp.ndarray
     # that ballooned TPU compile time at 16M+ elements.
     base = jax.lax.cummax(jnp.where(change, cum_r_prev, 0),
                           axis=0)                       # R rows < run start
-    return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
+    return jnp.where(stag == 1, cum_r - base, 0)
+
+
+@jax.jit
+def probe_count_merged(r_keys: jnp.ndarray, s_keys: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Device int32 mergecount total — see :func:`_merged_contrib` for the
+    scheme.  int32 contract like every other count probe: totals past 2^31
+    need :func:`probe_count_merged_exact` (host-finished 64-bit)."""
+    return jnp.sum(_merged_contrib(r_keys, s_keys))
+
+
+_PARTIAL_BLOCK = 1 << 15
+
+
+@jax.jit
+def _merged_partials(r_keys: jnp.ndarray, s_keys: jnp.ndarray):
+    """Block partial sums of the mergecount contributions, split 15/15 bits
+    so every int32 block sum is PROVABLY overflow-free: contributions are
+    <= |R| < 2^31, hence lo blocks <= 2^15 * (2^15 - 1) < 2^30 and hi
+    blocks <= 2^15 * ((2^31 - 1) >> 15) < 2^31."""
+    c = _merged_contrib(r_keys, s_keys)
+    pad = (-c.shape[0]) % _PARTIAL_BLOCK
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad,), jnp.int32)])
+    c = c.reshape(-1, _PARTIAL_BLOCK)
+    lo = jnp.sum(c & jnp.int32(0x7FFF), axis=1, dtype=jnp.int32)
+    hi = jnp.sum(c >> 15, axis=1, dtype=jnp.int32)
+    return lo, hi
+
+
+def probe_count_merged_exact(r_keys: jnp.ndarray, s_keys: jnp.ndarray) -> int:
+    """Exact 64-bit mergecount, host-finished — no wraparound under ANY
+    skew (a single-pair total past 2^31 silently wrapped the int32
+    reduction of probe_count_merged; this is the rung large-N skew paths
+    must use).  Device work is identical plus two block reductions; the
+    host pulls ~8 KB of partials per 2^27 elements and sums in int64."""
+    lo, hi = _merged_partials(r_keys, s_keys)
+    lo_h = np.asarray(jax.device_get(lo), dtype=np.int64).sum()
+    hi_h = np.asarray(jax.device_get(hi), dtype=np.int64).sum()
+    return int(lo_h + (hi_h << 15))
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class Relation64(NamedTuple):
@@ -74,12 +75,9 @@ def join64_count(r: Relation64, s: Relation64) -> jnp.ndarray:
     return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
 
 
-@jax.jit
-def join64_count_keys(r_hi, r_lo, s_hi, s_lo) -> jnp.ndarray:
-    """Keys-only exact 64-bit count (concat-sort mergecount) — the
-    escalation rung for run-pair probes at large N (engine/large.py),
-    where materialising rid planes would waste HBM.  Same scan scheme as
-    :func:`join64_count`."""
+def _merged_contrib64(r_hi, r_lo, s_hi, s_lo) -> jnp.ndarray:
+    """Per-element int32 contributions of the 64-bit mergecount (each
+    <= |R|; the scan scheme of :func:`join64_count`)."""
     n_r = r_hi.shape[0]
     hi = jnp.concatenate([r_hi, s_hi])
     lo = jnp.concatenate([r_lo, s_lo])
@@ -93,7 +91,40 @@ def join64_count_keys(r_hi, r_lo, s_hi, s_lo) -> jnp.ndarray:
     cum_r = jnp.cumsum((stag == 0).astype(jnp.int32))
     cum_r_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum_r[:-1]])
     base = jax.lax.cummax(jnp.where(change, cum_r_prev, 0), axis=0)
-    return jnp.sum(jnp.where(stag == 1, cum_r - base, 0))
+    return jnp.where(stag == 1, cum_r - base, 0)
+
+
+@jax.jit
+def join64_count_keys(r_hi, r_lo, s_hi, s_lo) -> jnp.ndarray:
+    """Keys-only exact 64-bit count (concat-sort mergecount) — the
+    escalation rung for run-pair probes at large N (engine/large.py),
+    where materialising rid planes would waste HBM.  int32 device total;
+    for pair totals that may pass 2^31 use :func:`join64_count_keys_exact`."""
+    return jnp.sum(_merged_contrib64(r_hi, r_lo, s_hi, s_lo))
+
+
+@jax.jit
+def _merged_partials64(r_hi, r_lo, s_hi, s_lo):
+    # Same overflow-free 15/15-bit block-sum scheme as
+    # ops/buildprobe._merged_partials (see proof there).
+    c = _merged_contrib64(r_hi, r_lo, s_hi, s_lo)
+    block = 1 << 15
+    pad = (-c.shape[0]) % block
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad,), jnp.int32)])
+    c = c.reshape(-1, block)
+    return (jnp.sum(c & jnp.int32(0x7FFF), axis=1, dtype=jnp.int32),
+            jnp.sum(c >> 15, axis=1, dtype=jnp.int32))
+
+
+def join64_count_keys_exact(r_hi, r_lo, s_hi, s_lo) -> int:
+    """Host-finished exact 64-bit-key mergecount: no int32 wraparound
+    under arbitrary skew (e.g. a degenerate-hi pair with >2^31 intra-pair
+    matches) — the escalation rung large-N wide-key paths must use."""
+    lo_p, hi_p = _merged_partials64(r_hi, r_lo, s_hi, s_lo)
+    lo_h = np.asarray(jax.device_get(lo_p), dtype=np.int64).sum()
+    hi_h = np.asarray(jax.device_get(hi_p), dtype=np.int64).sum()
+    return int(lo_h + (hi_h << 15))
 
 
 # ---------------------------------------------------------------------------
