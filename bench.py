@@ -57,18 +57,21 @@ def measure_hbm_gbps(n_bytes: int = 1 << 28) -> float:
     return 2 * n_bytes * reps / dt / 1e9
 
 
-def measure_sort_floor_ns(n: int = 1 << 28) -> float:
+def measure_sort_floor_ns(n: int = 1 << 28, reps: int = 3) -> float:
     """ns/element of XLA's unstable u32 sort on THIS chip — the engine's
-    measured algorithmic floor (docs/ROADMAP.md §1b).  Measured at a size
-    large enough to be relay-noise-free but cheap (one sort, ~0.5 s)."""
+    measured algorithmic floor (docs/ROADMAP.md §1b).  MEDIAN of ``reps``
+    timed sorts: the relay adds tens of ms of RPC jitter per synced call,
+    so a single timing is not a defensible baseline denominator."""
     from radixjoin_tpu.engine.large import gen_unique_keys_run
     keys = gen_unique_keys_run(n, 2654435761 | 1)(0, 1)
     srt = jax.jit(lambda k: jax.lax.sort(k, is_stable=False))
     sync(srt(keys))                      # compile + warm
-    t0 = time.perf_counter()
-    sync(srt(keys))
-    dt = time.perf_counter() - t0
-    return dt / n * 1e9
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(srt(keys))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / n * 1e9
 
 
 def bench_join_northstar(n: int, reps: int, meas, k_drift: int):
@@ -187,6 +190,11 @@ def main():
         "value": round(mtps, 2),
         "unit": "Mtuples/s",
         "vs_baseline": round(mtps / target, 4),
+        # vs_baseline changed meaning in round 2 (sort-floor SoL target,
+        # generation inside the timed region) — the model tag keeps
+        # round-over-round JSONs from being silently compared across
+        # incompatible denominators.
+        "baseline_model": "sort-floor-v2",
         "sort_floor_ns_per_elem": round(sort_ns, 3),
         "sol_sort_mtps": round(sol_sort_mtps, 1),
         "sol_hbm_mtps": round(sol_hbm_mtps, 1),

@@ -31,7 +31,7 @@ from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation, radix_bits
 from ..ops import skew as skew_ops
 from ..ops.buildprobe import (probe_count_tiered, probe_count_banded,
-                              probe_count_diagonal, probe_count_merged,
+                              probe_count_diagonal, _merged_partials,
                               bias_keys, join_materialize)
 from ..ops.partition import partition_relation
 from ..parallel.metadata import compute_metadata
@@ -45,6 +45,14 @@ class DistributedJoinResult(NamedTuple):
     global_hist_s: jnp.ndarray
     heavy_cr: jnp.ndarray         # int32[D, K] owner-masked heavy R freqs
     heavy_cs: jnp.ndarray         # int32[D, K] heavy S freqs
+    # 15/15-bit split block partials of the mergecount rung (zeros for
+    # every other local probe): a shard with >2^31 local matches — e.g.
+    # ~46K duplicates of one key per side all routed to one device —
+    # would silently wrap an int32 per-shard total while ok=True.  The
+    # partials are provably overflow-free per block (ops/buildprobe.
+    # _merged_partials) and recombine in int64 host-side.
+    merged_lo: jnp.ndarray        # int32[D, NB]
+    merged_hi: jnp.ndarray        # int32[D, NB]
 
 
 class DistributedJoinRows(NamedTuple):
@@ -66,8 +74,10 @@ def total_distributed_matches(res: DistributedJoinResult) -> int:
     double-sided skew); cr rows are owner-masked so each key counts once."""
     heavy = np.sum(np.asarray(res.heavy_cr, dtype=np.int64)
                    * np.asarray(res.heavy_cs, dtype=np.int64))
+    merged = (np.sum(np.asarray(res.merged_lo, dtype=np.int64))
+              + (np.sum(np.asarray(res.merged_hi, dtype=np.int64)) << 15))
     return int(np.sum(np.asarray(res.partial_matches, dtype=np.int64))
-               + heavy)
+               + heavy + merged)
 
 
 def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
@@ -208,10 +218,14 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                              jnp.uint32(0xFFFFFFFF))
             sk_m = jnp.where(shuf_s.valid, shuf_s.keys,
                              jnp.uint32(0xFFFFFFFE))
-            matches = probe_count_merged(rk_m, sk_m)
-            return (matches[None].astype(jnp.int32), ok[None],
+            # 15/15-bit block partials instead of an int32 sum: a shard
+            # whose local matches exceed 2^31 must not wrap (the terminal
+            # rung's whole point is "no input yields a wrong count").
+            lo, hi = _merged_partials(rk_m, sk_m)
+            return (jnp.zeros((1,), jnp.int32), ok[None],
                     meta_r.global_hist, meta_s.global_hist,
-                    heavy_cr[None], heavy_cs[None])
+                    heavy_cr[None], heavy_cs[None],
+                    lo[None], hi[None])
         if local_probe == "diagonal" and materialize_max_out is None:
             # Fastest local rung (engine/join.py mode="diagonal"): a full
             # key sort of the received shard replaces the second radix
@@ -230,7 +244,8 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
             return (matches[None].astype(jnp.int32),
                     (ok & tiers_ok)[None],
                     meta_r.global_hist, meta_s.global_hist,
-                    heavy_cr[None], heavy_cs[None])
+                    heavy_cr[None], heavy_cs[None],
+                    jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32))
         r_part = partition_relation(r_rel, local_bits, net_bits, ~shuf_r.valid)
         s_part = partition_relation(s_rel, local_bits, net_bits, ~shuf_s.valid)
         if materialize_max_out is not None:
@@ -267,14 +282,16 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         return (matches[None].astype(jnp.int32),
                 (ok & tiers_ok)[None],
                 meta_r.global_hist, meta_s.global_hist,
-                heavy_cr[None], heavy_cs[None])
+                heavy_cr[None], heavy_cs[None],
+                jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32))
 
     sharded = NamedSharding(mesh, P(axis))
 
     if materialize_max_out is not None:
         out_specs = (P(axis),) * 6
     else:
-        out_specs = (P(axis), P(axis), P(), P(), P(axis), P(axis))
+        out_specs = (P(axis), P(axis), P(), P(), P(axis), P(axis),
+                     P(axis), P(axis))
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -318,6 +335,10 @@ def make_distributed_join_checked(mesh: Mesh, n_r_shard: int,
     Returns ``fn(r, s) -> (total_matches: int, escalated: bool)``.  The
     terminal executable is compiled lazily on first escalation.
     """
+    assert kw.get("materialize_max_out") is None, (
+        "make_distributed_join_checked is a counts-only contract: the "
+        "terminal mergecount rung cannot emit rows, so escalation would "
+        "silently swap row output for a count")
     fast = make_distributed_join(mesh, n_r_shard, n_s_shard, cfg, **kw)
     skew = kw.get("skew_aware", False)
     terminal = None
