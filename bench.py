@@ -79,22 +79,28 @@ def bench_join_northstar(n: int, reps: int, meas, k_drift: int):
 
     Keys-only diagonal path with sorted-run decomposition
     (engine/large.py): XLA's flat sort exhausts HBM above 2^29 u32
-    elements, so each side is split into 2 sorted runs and the 4 run
-    pairs are probed.  Self-validating: matches == n (dense unique keys
-    both sides, reference main.cpp:70-98).  Generation (a device-side
+    elements, so each side is split into 2 sorted runs.  Runs are
+    VALUE-RANGE-partitioned at generation (the single-chip mirror of
+    data arriving through the reference's network-partitioning phase,
+    tasks/NetworkPartitioning.cpp — local processing there always sees
+    partition-contiguous tuples), so only the ``runs`` diagonal run
+    pairs can hold matches instead of runs^2 — the engine VERIFIES the
+    range claim on-device after each sort and falls back to all-pairs
+    if violated.  Self-validating: matches == n (dense unique keys both
+    sides, reference main.cpp:70-98).  Generation (a device-side
     bijection, ~1% of e2e) is part of the timed region.
     """
-    from radixjoin_tpu.engine.large import (gen_unique_keys_run,
+    from radixjoin_tpu.engine.large import (gen_unique_keys_ranged_run,
                                             join_count_keys_runs)
     runs = 2 if n > (1 << 29) else 1
-    rsrc = gen_unique_keys_run(n, 2654435761 | 1)
-    ssrc = gen_unique_keys_run(n, 0x9E3779B1 ^ 0x40)
+    rsrc = gen_unique_keys_ranged_run(n, 2654435761 | 1)
+    ssrc = gen_unique_keys_ranged_run(n, 0x9E3779B1 ^ 0x40)
     total = 0.0
     for rep in range(reps + 1):          # rep 0 = compile warmup, untimed
         t0 = time.perf_counter()
         m, ok = join_count_keys_runs(rsrc, ssrc, r_runs=runs, s_runs=runs,
                                      sync=sync, n_r_total=n, n_s_total=n,
-                                     k_drift=k_drift,
+                                     k_drift=k_drift, ranged_domain=n,
                                      meas=meas if rep else None)
         if rep:
             total += time.perf_counter() - t0

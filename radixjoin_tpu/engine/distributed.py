@@ -67,16 +67,30 @@ class DistributedJoinRows(NamedTuple):
     ok: jnp.ndarray       # bool[D]
 
 
+def _fetch(x) -> np.ndarray:
+    """Device array -> host numpy, across processes if needed.
+
+    Under multi-process ``jax.distributed`` (parallel/multihost.py) the
+    P(axis)-sharded outputs are not fully addressable from one process;
+    an all-gather over the process set (the reference's rank-0 metric
+    aggregation, Measurements.cpp:567-590 — except every rank gets the
+    total) assembles the global value."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def total_distributed_matches(res: DistributedJoinResult) -> int:
     """Host-side 64-bit aggregation at the 'result aggregation node'
     (reference Configuration.h:19, Measurements.cpp:546-606).  Heavy-key
     products multiply here in 64-bit (cr*cs overflows int32 under
     double-sided skew); cr rows are owner-masked so each key counts once."""
-    heavy = np.sum(np.asarray(res.heavy_cr, dtype=np.int64)
-                   * np.asarray(res.heavy_cs, dtype=np.int64))
-    merged = (np.sum(np.asarray(res.merged_lo, dtype=np.int64))
-              + (np.sum(np.asarray(res.merged_hi, dtype=np.int64)) << 15))
-    return int(np.sum(np.asarray(res.partial_matches, dtype=np.int64))
+    heavy = np.sum(_fetch(res.heavy_cr).astype(np.int64)
+                   * _fetch(res.heavy_cs).astype(np.int64))
+    merged = (np.sum(_fetch(res.merged_lo).astype(np.int64))
+              + (np.sum(_fetch(res.merged_hi).astype(np.int64)) << 15))
+    return int(np.sum(_fetch(res.partial_matches).astype(np.int64))
                + heavy + merged)
 
 

@@ -78,7 +78,8 @@ def join_count_keys_runs(r_keys, s_keys,
                          sync=None,
                          n_r_total: int | None = None,
                          n_s_total: int | None = None,
-                         meas=None):
+                         meas=None,
+                         ranged_domain: int | None = None):
     """Count join via sorted-RUN decomposition: XLA's sort OOMs beyond
     2^29 u32 elements on a 16 GB chip (measured: a solo 1B lax.sort
     exhausts HBM — its scratch is ~2x the operand), so each side is split
@@ -100,9 +101,33 @@ def join_count_keys_runs(r_keys, s_keys,
     the 1B benchmark uses.  ``sync`` (optional callable) fences the
     device between phases so peak residency stays deterministic.
 
+    ``ranged_domain``: declare the runs VALUE-RANGE-partitioned — run k of
+    either side only holds keys in [k*D/runs, (k+1)*D/runs), D = the
+    domain size.  Then matches exist only in diagonal pairs (k, k), so
+    probe work drops from r_runs*s_runs pair probes to ``runs`` — the
+    single-chip mirror of the reference's network-partition-then-local-
+    process structure (tasks/NetworkPartitioning.cpp -> per-partition
+    BuildProbe), with the partition pass moved into the data source (a
+    generator emits partition-contiguous runs for free; a real loader
+    would radix-bucket on the host, engine/outofcore.py).  The claim is
+    VERIFIED on device: after sorting, each run's first/last element is
+    checked against its range bounds — if any run violates, this falls
+    back to the exact all-pairs decomposition (correctness never rests
+    on the declaration).  Requires r_runs == s_runs.
+
     Returns (matches: int, ok: bool) — host-side exact accumulation (a
     device int32 total would cap at 2^31 matches).
     """
+    if ranged_domain is not None:
+        assert r_runs == s_runs, "ranged runs require equal run counts"
+        assert callable(r_keys) and callable(s_keys), (
+            "ranged mode re-generates runs on fallback; pass callables")
+        got = _join_ranged_runs(r_keys, s_keys, r_runs, k_drift,
+                                rows_per_group, sync or (lambda x: None),
+                                n_r_total, n_s_total, meas, ranged_domain)
+        if got is not None:
+            return got
+        # range check tripped: fall through to the all-pairs decomposition
     if not callable(r_keys) and not callable(s_keys) \
             and r_runs == 1 and s_runs == 1:
         m, ok = join_count_keys_inhbm(r_keys, s_keys, k_drift,
@@ -171,6 +196,67 @@ def join_count_keys_runs(r_keys, s_keys,
                  for rs in rs_runs for ss in ss_runs]
         total = sum(int(m) for m, _ in parts)
         ok = all(bool(o) for _, o in parts)
+    return total, ok
+
+
+def _join_ranged_runs(r_source, s_source, runs, k_drift, rows_per_group,
+                      sync, n_r_total, n_s_total, meas, domain):
+    """Diagonal-pairs-only probe over value-range-partitioned runs (see
+    join_count_keys_runs ``ranged_domain``).  Returns (matches, ok), or
+    None if any run's on-device range check fails — the caller then falls
+    back to the exact all-pairs decomposition.
+
+    Per-pair processing bounds residency to ~8 GB at the 1B scale (one
+    side's sort scratch + both prepped runs), so no cross-pair sync
+    choreography is needed; each pair's probe is synced inside its PROBE
+    phase so per-phase attribution stays honest (the dispatch alone would
+    bill the probe to the next pair's sort).
+    """
+    assert n_r_total is not None and n_s_total is not None, (
+        "pass n_*_total with callable sources")
+    assert n_r_total % runs == 0 and n_s_total % runs == 0
+    assert domain % runs == 0, "domain must split evenly across runs"
+    nr = n_r_total // runs
+    ns = n_s_total // runs
+    span = domain // runs
+
+    def _phase(name, tuples=0):
+        if meas is None:
+            return contextlib.nullcontext()
+        return meas.phase(name, tuples=tuples)
+
+    def _bias_const(u):                   # biased-int32 image of a uint32
+        return int(np.int32(np.uint32(u) ^ np.uint32(0x80000000)))
+
+    pair = []
+    for k in range(runs):
+        lo_b = _bias_const(k * span)
+        hi_b = _bias_const((k + 1) * span - 1)
+
+        def prep(source, side, n_side, n_tot, name):
+            with _phase(name, tuples=n_tot // runs):
+                sb = _sort_biased(source(k, runs))
+                assert sb.shape[0] == n_side
+                # exact range check: sorted => min/max are the ends
+                in_range = (sb[0] >= lo_b) & (sb[n_side - 1] <= hi_b)
+                p = diagonal_prepad(sb, side, nr, ns, k_drift=k_drift,
+                                    rows_per_group=rows_per_group)
+                sync(p)
+            return p, in_range
+
+        rp, rin = prep(r_source, "r", nr, n_r_total, "GEN_SORT_R")
+        sp, sin = prep(s_source, "s", ns, n_s_total, "GEN_SORT_S")
+        with _phase("PROBE", tuples=nr + ns):
+            m, okp = probe_count_diagonal(rp, sp, k_drift=k_drift,
+                                          rows_per_group=rows_per_group,
+                                          prepadded=(nr, ns))
+            sync(m)
+        pair.append((m, okp, rin, sin))
+
+    if not all(bool(rin) and bool(sin) for _, _, rin, sin in pair):
+        return None                       # declaration false: all-pairs
+    total = sum(int(m) for m, _, _, _ in pair)
+    ok = all(bool(okp) for _, okp, _, _ in pair)
     return total, ok
 
 
@@ -430,6 +516,34 @@ def gen_unique_keys64_run(n: int, order_mult: int,
         nr = n // n_runs
         return _gen_span64(n, order_mult, hi_mult,
                            run * nr, (run + 1) * nr)
+
+    return source
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _gen_span_offset(nr: int, odd_mult: int, base: int) -> jnp.ndarray:
+    x = jnp.arange(0, nr, dtype=jnp.uint32)
+    return ((x * jnp.uint32(odd_mult)) & jnp.uint32(nr - 1)) + jnp.uint32(base)
+
+
+def gen_unique_keys_ranged_run(n: int, odd_mult: int):
+    """``fn(run, n_runs)`` source of dense unique keys, run k a bijection
+    over the SUBRANGE [k*n/n_runs, (k+1)*n/n_runs) — the value-range-
+    partitioned form ``join_count_keys_runs(ranged_domain=n)`` wants.
+
+    The union over runs is exactly the dense key set [0, n) (same
+    self-validating workload as gen_unique_keys_run: matches == n against
+    any other dense-unique source over [0, n)); what changes is the
+    ORDER runs enumerate it — partition-contiguous, mirroring data that
+    arrived through the reference's network-partitioning phase
+    (tasks/NetworkPartitioning.cpp: local processing always sees
+    partition-contiguous tuples)."""
+    assert n & (n - 1) == 0 and odd_mult & 1
+
+    def source(run: int, n_runs: int) -> jnp.ndarray:
+        nr = n // n_runs
+        assert nr & (nr - 1) == 0
+        return _gen_span_offset(nr, odd_mult, run * nr)
 
     return source
 

@@ -473,6 +473,45 @@ def test_inhbm_runs_decomposition():
         assert int(m) == want
 
 
+def test_inhbm_ranged_runs():
+    # Value-range-partitioned runs (engine/large.py ranged_domain): only
+    # diagonal pairs are probed; the union over runs is still the dense
+    # key set so matches == n, and the on-device range check guards the
+    # declaration.
+    from radixjoin_tpu.engine.large import (join_count_keys_runs,
+                                            gen_unique_keys_ranged_run,
+                                            gen_unique_keys_run)
+    n = 1 << 13
+    rsrc = gen_unique_keys_ranged_run(n, 2654435761 | 1)
+    ssrc = gen_unique_keys_ranged_run(n, 0x9E3779B1 ^ 0x40)
+    # each run really is a bijection over its subrange
+    got = np.sort(np.asarray(rsrc(1, 4)))
+    np.testing.assert_array_equal(got, np.arange(n // 4, dtype=np.uint32)
+                                  + np.uint32(n // 4))
+    m, ok = join_count_keys_runs(rsrc, ssrc, r_runs=2, s_runs=2,
+                                 n_r_total=n, n_s_total=n,
+                                 ranged_domain=n)
+    assert bool(ok) and int(m) == n
+
+    # sources that VIOLATE the range declaration (position-sliced, not
+    # range-partitioned) must be caught by the on-device check and fall
+    # back to the exact all-pairs decomposition
+    rsrc_bad = gen_unique_keys_run(n, 2654435761 | 1)
+    ssrc_bad = gen_unique_keys_run(n, 0x9E3779B1 ^ 0x40)
+    m, ok = join_count_keys_runs(rsrc_bad, ssrc_bad, r_runs=2, s_runs=2,
+                                 n_r_total=n, n_s_total=n,
+                                 ranged_domain=n)
+    assert bool(ok) and int(m) == n
+
+    # mixed sources (one side honours the declaration, the other does
+    # not): the fallback's diagonal pairs see locally unbalanced sides
+    # and must trip ok rather than return a wrong count silently
+    m, ok = join_count_keys_runs(rsrc, ssrc_bad, r_runs=2, s_runs=2,
+                                 n_r_total=n, n_s_total=n,
+                                 ranged_domain=n)
+    assert (not bool(ok)) or int(m) == n
+
+
 def test_skew_runs_decomposition():
     # Pair-decomposed skew-aware mergecount (engine/large.py): exact on
     # Zipf-skewed data including a dominant heavy key, vs the numpy oracle.
