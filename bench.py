@@ -92,7 +92,11 @@ def bench_join_northstar(n: int, reps: int, meas, k_drift: int):
     """
     from radixjoin_tpu.engine.large import (gen_unique_keys_ranged_run,
                                             join_count_keys_runs)
-    runs = 2 if n > (1 << 29) else 1
+    # 2^28 runs: XLA's sort is measurably cheaper per element there than
+    # at its 2^29 HBM-scratch limit (1.851 vs 2.006 ns/elem, tuning matrix
+    # in BENCH_NOTES.md), and ranged probing makes run count free on the
+    # probe side (always `runs` diagonal pairs of n/runs rows).
+    runs = max(1, n >> 28)
     rsrc = gen_unique_keys_ranged_run(n, 2654435761 | 1)
     ssrc = gen_unique_keys_ranged_run(n, 0x9E3779B1 ^ 0x40)
     total = 0.0
@@ -102,6 +106,12 @@ def bench_join_northstar(n: int, reps: int, meas, k_drift: int):
                                      sync=sync, n_r_total=n, n_s_total=n,
                                      k_drift=k_drift, ranged_domain=n,
                                      meas=meas if rep else None)
+        if not ok and k_drift < 32:
+            # diagonal drift/coverage tripped at this K: escalate once
+            # (the engine ladder's bench-side mirror) and restart timing
+            log(f"k_drift={k_drift} coverage tripped; escalating to "
+                f"{k_drift * 2}")
+            return bench_join_northstar(n, reps, meas, k_drift * 2)
         if rep:
             total += time.perf_counter() - t0
         assert ok and m == n, f"oracle mismatch: {m} != {n} (ok={ok})"
@@ -139,7 +149,9 @@ def main():
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")
     reps = int(os.environ.get("BENCH_REPS", "2"))
-    k_drift = int(os.environ.get("BENCH_K_DRIFT", "16"))
+    # K=8 beat 4 and 16 in the on-chip tuning matrix (BENCH_NOTES.md);
+    # a tripped coverage check escalates K automatically.
+    k_drift = int(os.environ.get("BENCH_K_DRIFT", "8"))
 
     if backend == "tpu":
         n = 1 << 30          # 1B tuples per side: the BASELINE north star

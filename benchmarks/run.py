@@ -146,6 +146,77 @@ def run_pipeline_config(n: int, reps: int, meas):
     return int(res.join_count)
 
 
+def run_pipeline_sf100_config(n: int, reps: int, meas, dup: int = 2):
+    """Pipeline at TPC-H SF100-ish scale (VERDICT r1 item 2): ``n`` fact
+    rows (default 2^29 ~ SF100 lineitem's 600M) through the ranged-runs
+    pipeline — per-run 2-operand sorts stay under the 2^28 sort cap, the
+    windowed emit kernel runs at full run size (coarse row-head search in
+    _windowed_prep keeps its prep linear), and the ``dup``-duplicated dim
+    side forces the M-plane rung with a PAYLOAD aggregation: the M-plane
+    kernel's at-scale Mosaic validation, phase-timed.
+
+    Per run: n/runs fact rows vs (n/runs)/16 * dup dim rows; fact keys hit
+    every dim key exactly (n/runs)/span times, so totals and per-group
+    counting sums are closed-form (asserted on device)."""
+    from radixjoin_tpu.engine.pipeline import filter_join_aggregate_ranged_runs
+
+    runs = max(1, n >> 28)
+    nf = n // runs
+    span = max(1024, nf // 16)
+    domain = span * runs
+    odd_d, odd_f = 2654435761 | 1, 0x9E3779B1 ^ 0x40
+    per_key = nf // span
+
+    def r_source(k, n_runs):
+        i = jnp.arange(span, dtype=jnp.uint32)
+        keys = jnp.uint32(k * span) \
+            + ((i * jnp.uint32(odd_d)) & jnp.uint32(span - 1))
+        if dup > 1:
+            keys = jnp.tile(keys, dup)
+        return keys, jnp.arange(keys.shape[0], dtype=jnp.uint32)
+
+    def s_source(k, n_runs):
+        i = jnp.arange(nf, dtype=jnp.uint32)
+        keys = jnp.uint32(k * span) \
+            + ((i * jnp.uint32(odd_f)) & jnp.uint32(span - 1))
+        return keys, i
+
+    check = jax.jit(lambda gs, gv: (
+        jnp.min(jnp.where(gv, gs, per_key * dup)),
+        jnp.max(jnp.where(gv, gs, per_key * dup)),
+        jnp.sum(gv.astype(jnp.int32))))
+
+    def consume_counting(k, res):
+        lo, hi, ng = (int(x) for x in jax.device_get(
+            check(res.group_sums, res.group_valid)))
+        assert lo == hi == per_key * dup and ng == span, (k, lo, hi, ng)
+
+    def one(value_of, consume):
+        return filter_join_aggregate_ranged_runs(
+            r_source, s_source, runs, domain, None, None,
+            max_out=4 * nf, max_groups=span, value_of=value_of,
+            consume=consume, sync=_sync)
+
+    want = n * dup
+    with meas.phase("COMPILE"):
+        total, ngroups, ok = one(None, consume_counting)
+        assert ok and total == want and ngroups == span * runs
+    with meas.phase("PIPELINE_COUNT", tuples=n * reps):
+        for _ in range(reps):
+            total, ngroups, ok = one(None, None)
+            assert ok and total == want and ngroups == span * runs
+
+    value_of = lambda rr, sr: ((rr % 7) + (sr % 5)).astype(jnp.int32)
+    with meas.phase("COMPILE_MPLANE"):
+        total, ngroups, ok = one(value_of, None)
+        assert ok and total == want and ngroups == span * runs
+    with meas.phase("PIPELINE_MPLANE", tuples=n * reps):
+        for _ in range(reps):
+            total, ngroups, ok = one(value_of, None)
+            assert ok and total == want and ngroups == span * runs
+    return total
+
+
 def run_northstar_config(n: int, reps: int, meas):
     """BASELINE.json north star: 1B x 1B per-chip count join, in HBM.
 
@@ -200,6 +271,83 @@ def run_northstar64_config(n: int, reps: int, meas, runs_shift: int = 28):
     return got
 
 
+def run_northstar_steady_config(n: int, reps: int, meas, k: int = 8):
+    """Prepared-build steady state at north-star scale (VERDICT r1 item
+    1b): the build side is sorted/prepadded ONCE and reused across reps —
+    the deployment shape where a dimension side is joined repeatedly
+    (engine/join.py prepare_build_sorted at small N; here the ranged-runs
+    form).  Steady-state cost = S generation+sorts + diagonal pair probes.
+    """
+    from radixjoin_tpu.engine.large import (gen_unique_keys_ranged_run,
+                                            _sort_biased)
+    from radixjoin_tpu.ops.buildprobe import (diagonal_prepad,
+                                              probe_count_diagonal)
+    runs = max(1, n >> 28)
+    nr = n // runs
+    rsrc = gen_unique_keys_ranged_run(n, 2654435761 | 1)
+    ssrc = gen_unique_keys_ranged_run(n, 0x9E3779B1 ^ 0x40)
+
+    with meas.phase("PREPARE_BUILD", tuples=n):
+        rs_runs = []
+        for i in range(runs):
+            rp = diagonal_prepad(_sort_biased(rsrc(i, runs)), "r", nr, nr,
+                                 k_drift=k, rows_per_group=32)
+            _sync(rp)
+            rs_runs.append(rp)
+
+    def one_pass():
+        total = 0
+        all_ok = True
+        for i in range(runs):
+            sp = diagonal_prepad(_sort_biased(ssrc(i, runs)), "s", nr, nr,
+                                 k_drift=k, rows_per_group=32)
+            _sync(sp)
+            m, okp = probe_count_diagonal(rs_runs[i], sp, k_drift=k,
+                                          rows_per_group=32,
+                                          prepadded=(nr, nr))
+            _sync(m)
+            total += int(m)
+            all_ok = all_ok and bool(okp)
+        return total, all_ok
+
+    with meas.phase("COMPILE"):
+        got, ok = one_pass()
+        assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    with meas.phase("JOIN", tuples=2 * n * reps):
+        for _ in range(reps):
+            got, ok = one_pass()
+            assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    return got
+
+
+def run_northstar_rows_config(n: int, reps: int, meas):
+    """Materialising join at scale (VERDICT r1 item 5): (r_rid, s_rid) row
+    production through the windowed emit kernel over ranged (key, rid)
+    runs.  Rows stay on device (a full host pull is relay-bound here);
+    benchmarks/tpu_rows_check.py is the verification twin that samples
+    rows bit-exactly and checks rid checksums per pair.
+    """
+    from radixjoin_tpu.engine.large import (gen_unique_tuples_ranged_run,
+                                            join_rows_keys_ranged_runs)
+    runs = max(1, n >> 28)
+    rsrc = gen_unique_tuples_ranged_run(n, 2654435761 | 1)
+    ssrc = gen_unique_tuples_ranged_run(n, 0x9E3779B1 ^ 0x40)
+
+    def consume(k, rrs, srid, cnt):
+        pass                              # rows remain on device, dropped
+
+    with meas.phase("COMPILE"):
+        total, ok = join_rows_keys_ranged_runs(
+            rsrc, ssrc, runs, n, n, n, consume, sync=_sync)
+        assert ok and total == n, f"rows={total} ok={ok}"
+    with meas.phase("JOIN", tuples=2 * n * reps):
+        for _ in range(reps):
+            total, ok = join_rows_keys_ranged_runs(
+                rsrc, ssrc, runs, n, n, n, consume, sync=_sync)
+            assert ok and total == n, f"rows={total} ok={ok}"
+    return total
+
+
 def run_northstar_skew_config(n: int, reps: int, meas):
     """BASELINE.json: 1B x 1B Zipf(1.05) skew-aware single-host, in HBM.
 
@@ -227,8 +375,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="onechip",
                     choices=["small", "onechip", "skew", "distributed",
-                             "pipeline", "northstar", "northstar-skew",
-                             "northstar64"])
+                             "pipeline", "pipeline-sf100", "northstar",
+                             "northstar-skew",
+                             "northstar64", "northstar-steady",
+                             "northstar-rows"])
     ap.add_argument("--n", type=int, default=None,
                     help="log2 tuples per relation (per shard for distributed)")
     ap.add_argument("--reps", type=int, default=3)
@@ -251,7 +401,10 @@ def main(argv=None):
                 "distributed": 11, "pipeline": 20 if on_tpu else 16,
                 "northstar": 30 if on_tpu else 16,
                 "northstar-skew": 30 if on_tpu else 16,
-                "northstar64": 29 if on_tpu else 15}
+                "northstar64": 29 if on_tpu else 15,
+                "northstar-steady": 30 if on_tpu else 16,
+                "northstar-rows": 28 if on_tpu else 14,
+                "pipeline-sf100": 29 if on_tpu else 14}
     logn = args.n if args.n is not None else defaults[args.config]
     n = 1 << logn
     meas.meta["LOG2N"] = logn
@@ -266,12 +419,21 @@ def main(argv=None):
     elif args.config == "pipeline":
         got = run_pipeline_config(n, args.reps, meas)
         print(f"join_count={got}", file=sys.stderr)
+    elif args.config == "pipeline-sf100":
+        got = run_pipeline_sf100_config(n, args.reps, meas)
+        print(f"join_count={got}", file=sys.stderr)
     elif args.config == "northstar":
         got = run_northstar_config(n, args.reps, meas)
         print(f"matches={got}", file=sys.stderr)
     elif args.config == "northstar-skew":
         got = run_northstar_skew_config(n, args.reps, meas)
         print(f"matches={got}", file=sys.stderr)
+    elif args.config == "northstar-steady":
+        got = run_northstar_steady_config(n, args.reps, meas)
+        print(f"matches={got}", file=sys.stderr)
+    elif args.config == "northstar-rows":
+        got = run_northstar_rows_config(n, args.reps, meas)
+        print(f"rows={got}", file=sys.stderr)
     elif args.config == "northstar64":
         got = run_northstar64_config(n, args.reps, meas)
         print(f"matches={got}", file=sys.stderr)

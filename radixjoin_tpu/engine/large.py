@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.buildprobe import (bias_keys, diagonal_prepad,
+                              join_materialize_windowed,
                               probe_count_diagonal,
                               probe_count_merged_exact)
 from ..ops.wide import (diagonal_prepad64, join64_count_keys_exact,
@@ -228,36 +229,170 @@ def _join_ranged_runs(r_source, s_source, runs, k_drift, rows_per_group,
     def _bias_const(u):                   # biased-int32 image of a uint32
         return int(np.int32(np.uint32(u) ^ np.uint32(0x80000000)))
 
-    pair = []
-    for k in range(runs):
+    def prep(source, k, side, n_side):
+        sb = _sort_biased(source(k, runs))
+        assert sb.shape[0] == n_side
         lo_b = _bias_const(k * span)
         hi_b = _bias_const((k + 1) * span - 1)
+        # exact range check: sorted => min/max are the ends
+        in_range = (sb[0] >= lo_b) & (sb[n_side - 1] <= hi_b)
+        return diagonal_prepad(sb, side, nr, ns, k_drift=k_drift,
+                               rows_per_group=rows_per_group), in_range
 
-        def prep(source, side, n_side, n_tot, name):
-            with _phase(name, tuples=n_tot // runs):
-                sb = _sort_biased(source(k, runs))
-                assert sb.shape[0] == n_side
-                # exact range check: sorted => min/max are the ends
-                in_range = (sb[0] >= lo_b) & (sb[n_side - 1] <= hi_b)
-                p = diagonal_prepad(sb, side, nr, ns, k_drift=k_drift,
-                                    rows_per_group=rows_per_group)
-                sync(p)
-            return p, in_range
-
-        rp, rin = prep(r_source, "r", nr, n_r_total, "GEN_SORT_R")
-        sp, sin = prep(s_source, "s", ns, n_s_total, "GEN_SORT_S")
+    pair = []
+    for k in range(runs):
+        # Both sides dispatched, ONE fence: at run sizes <= 2^28 the two
+        # sorts' enqueue-time scratch coexists comfortably (~6 GB), and
+        # every host sync is a full relay round-trip (~30-50 ms) —
+        # 3 syncs/pair -> 2 was worth ~0.2 s at the 1B scale.
+        with _phase("GEN_SORT", tuples=(n_r_total + n_s_total) // runs):
+            rp, rin = prep(r_source, k, "r", nr)
+            if max(nr, ns) > (1 << 28):
+                sync(rp)     # 2^29 runs: don't let two sort scratches
+                             # coexist (~12 GB enqueue-time peak)
+            sp, sin = prep(s_source, k, "s", ns)
+            sync(sp)
         with _phase("PROBE", tuples=nr + ns):
             m, okp = probe_count_diagonal(rp, sp, k_drift=k_drift,
                                           rows_per_group=rows_per_group,
                                           prepadded=(nr, ns))
-            sync(m)
         pair.append((m, okp, rin, sin))
+        # No sync on the probe: its outputs are scalars and its inputs
+        # (this pair's prepped runs, ~2.2 GB) stay live only until it
+        # executes.  Deferring the pull (a) saves a 30-50 ms relay
+        # round-trip per pair and (b) lets the probe execute while the
+        # host dispatches pair k+1's generation+sort.  Peak enqueue-time
+        # residency adds one probed pair to the two sort scratches:
+        # ~9 GB at the 1B scale — measured safe.  The final int()/bool()
+        # pulls below drain every pair.
 
-    if not all(bool(rin) and bool(sin) for _, _, rin, sin in pair):
+    with _phase("PROBE_DRAIN"):
+        pair = [(int(m), bool(okp), bool(rin), bool(sin))
+                for m, okp, rin, sin in pair]
+    if not all(rin and sin for _, _, rin, sin in pair):
         return None                       # declaration false: all-pairs
-    total = sum(int(m) for m, _, _, _ in pair)
-    ok = all(bool(okp) for _, okp, _, _ in pair)
+    total = sum(m for m, _, _, _ in pair)
+    ok = all(okp for _, okp, _, _ in pair)
     return total, ok
+
+
+# ---------------------------------------------------------------------------
+# Materialising join at large N — (r_rid, s_rid) row production, the
+# reference's output-claiming probe (operators/gpu/kernels.cu:199-246,
+# output positions via atomicAdd :236-243) at north-star scale.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _sort_key_rid(keys: jnp.ndarray, rids: jnp.ndarray):
+    """(uint32 keys, uint32 rids) -> key-sorted (biased-int32 keys, int32
+    rids).  One 2-operand sort — the same HBM-scratch wall as the 64-bit
+    path: caps at 2^28 elements on a 16 GB chip, hence the runs wrapper
+    below for larger sides.  Unstable: ties permute rids arbitrarily,
+    which join semantics don't observe."""
+    return jax.lax.sort((bias_keys(keys), rids.astype(jnp.int32)),
+                        num_keys=1, is_stable=False)
+
+
+def join_rows_keys_inhbm(r_keys, r_rids, s_keys, s_rids,
+                         window_rows: int = 4, rows_per_group: int = 32):
+    """Materialising equi-join of one run pair, phased for large N.
+
+    All four arguments are DONATED device arrays.  Returns
+    ``(r_rid_sorted, s_rid, cnt, win_ok, multi)`` — a DENSE output aligned
+    to sorted-R order: element i of the sorted R run matched ``cnt[i]`` S
+    rows, and where cnt == 1 its partner's rid is ``s_rid[i]`` (the row
+    pair is ``(r_rid_sorted[i], s_rid[i])``).  This dense form is the
+    TPU-native replacement for the reference probe's atomicAdd output
+    claiming (kernels.cu:236-243): no scatter, no static output bound, no
+    output-order nondeterminism.
+
+    ``win_ok`` False: some row's S window overflowed — retry with a larger
+    ``window_rows``.  ``multi`` True: some element matched >1 S row; counts
+    stay exact but that element's s_rid is a rid-sum (consumers needing
+    every pair under multi-match use join_materialize /
+    join_materialize_windowed_multi at partition scale).
+    """
+    rbk, rrs = _sort_key_rid(r_keys, r_rids)
+    sbk, srs = _sort_key_rid(s_keys, s_rids)
+    out_srid, cnt, win_ok, multi = join_materialize_windowed(
+        rbk, sbk, srs, window_rows=window_rows,
+        rows_per_group=rows_per_group)
+    return rrs, out_srid, cnt, win_ok, multi
+
+
+def join_rows_keys_ranged_runs(r_source, s_source, runs: int,
+                               n_r_total: int, n_s_total: int,
+                               domain: int, consume,
+                               window_rows: int = 4,
+                               rows_per_group: int = 32,
+                               sync=None):
+    """Materialising join via value-range-partitioned (key, rid) runs —
+    the row-producing sibling of ``join_count_keys_runs(ranged_domain=)``
+    for sides beyond the 2^28 2-operand sort cap.
+
+    ``r_source``/``s_source``: ``fn(run, n_runs) -> (keys, rids)`` whose
+    run k holds only keys in [k*domain/runs, (k+1)*domain/runs) — verified
+    on device after each sort.  Every pair's dense output is handed to
+    ``consume(k, r_rid_sorted, s_rid, cnt)`` while still on device, so
+    peak HBM holds one pair's working set regardless of total output size
+    (the caller samples/checksums/streams as it pleases; a full host pull
+    of 1B rows is relay-bandwidth-bound here, not engine-bound).
+
+    Returns (total_rows: int, ok: bool).  ok False when a range check or
+    window/multi flag tripped — counts may be partial; escalate to the
+    counting paths or partition-scale materialisation.
+    """
+    sync = sync or (lambda x: None)
+    assert n_r_total % runs == 0 and n_s_total % runs == 0
+    assert domain % runs == 0
+    nr = n_r_total // runs
+    ns = n_s_total // runs
+    span = domain // runs
+
+    def _bias_const(u):
+        return int(np.int32(np.uint32(u) ^ np.uint32(0x80000000)))
+
+    total = 0
+    ok = True
+    for k in range(runs):
+        lo_b = _bias_const(k * span)
+        hi_b = _bias_const((k + 1) * span - 1)
+        rk, rr = r_source(k, runs)
+        rbk, rrs = _sort_key_rid(rk, rr)
+        rin = (rbk[0] >= lo_b) & (rbk[nr - 1] <= hi_b)
+        sync(rbk)
+        sk, sr = s_source(k, runs)
+        sbk, srs = _sort_key_rid(sk, sr)
+        sin = (sbk[0] >= lo_b) & (sbk[ns - 1] <= hi_b)
+        sync(sbk)
+        out_srid, cnt, win_ok, multi = join_materialize_windowed(
+            rbk, sbk, srs, window_rows=window_rows,
+            rows_per_group=rows_per_group)
+        pair_rows = jnp.sum(cnt)
+        sync(pair_rows)
+        ok = ok and bool(rin) and bool(sin) and bool(win_ok) \
+            and not bool(multi)
+        consume(k, rrs, out_srid, cnt)
+        total += int(pair_rows)
+    return total, ok
+
+
+def gen_unique_tuples_ranged_run(n: int, odd_mult: int):
+    """``fn(run, n_runs) -> (keys, rids)``: the (key, rid) form of
+    :func:`gen_unique_keys_ranged_run` — run k is a bijection over key
+    subrange k with rids equal to the global row index (row t of the
+    conceptual relation has key ((t % nr) * odd mod nr) + (t // nr) * nr,
+    host-verifiable per emitted row)."""
+    assert n & (n - 1) == 0 and odd_mult & 1
+
+    def source(run: int, n_runs: int):
+        nr = n // n_runs
+        keys = _gen_span_offset(nr, odd_mult, run * nr)
+        rids = jnp.arange(run * nr, (run + 1) * nr, dtype=jnp.uint32)
+        return keys, rids
+
+    return source
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -196,3 +196,65 @@ def filter_join_aggregate(r: Relation, s: Relation,
             return res
     return _fja_reference(r, s, r_pred, s_pred, max_out, max_groups,
                           value_of)
+
+
+def filter_join_aggregate_ranged_runs(r_source, s_source, runs: int,
+                                      domain: int,
+                                      r_pred, s_pred,
+                                      max_out: int, max_groups: int,
+                                      value_of=None,
+                                      consume=None,
+                                      max_matches: int = 4,
+                                      sync=None):
+    """The pipeline at beyond-sort-cap scale (TPC-H SF100-ish: ~600M fact
+    rows) via value-range-partitioned runs — the pipeline sibling of
+    ``engine.large.join_count_keys_runs(ranged_domain=...)``.
+
+    ``r_source``/``s_source``: ``fn(run, n_runs) -> (keys, rids)`` where
+    run k holds only join keys in [k*domain/runs, (k+1)*domain/runs)
+    (checked on device per run: min/max of the raw keys vs the bounds —
+    a violated claim returns ok=False).  Because GROUP BY is on the join
+    key, every group lives in exactly ONE run: per-run aggregates are
+    disjoint and simply concatenate — no cross-run merge, no global
+    re-aggregation (the distributed join's partition-ownership argument,
+    parallel/metadata.py, applied to query composition).
+
+    Each run escalates independently through the engine ladder
+    (windowed emit -> M-plane -> gather fallback).  ``consume(k,
+    PipelineResult)`` receives each run's groups while still on device;
+    returns (total_join_rows, n_groups_total, ok).
+    """
+    sync = sync or (lambda x: None)
+    assert domain % runs == 0
+    span = domain // runs
+
+    bounds_check = jax.jit(
+        lambda k, lo, hi: (jnp.min(k) >= lo) & (jnp.max(k) <= hi))
+
+    total = 0
+    n_groups = 0
+    all_ok = True
+    for k in range(runs):
+        rk, rr = r_source(k, runs)
+        sk, sr = s_source(k, runs)
+        rin = bounds_check(rk, jnp.uint32(k * span),
+                           jnp.uint32((k + 1) * span - 1))
+        sin = bounds_check(sk, jnp.uint32(k * span),
+                           jnp.uint32((k + 1) * span - 1))
+        r = Relation(rk, rr)
+        s = Relation(sk, sr)
+        res, ok = _fja_fast(r, s, r_pred, s_pred, max_groups, value_of)
+        if not bool(ok) and value_of is not None:
+            res, ok = _fja_multi(r, s, r_pred, s_pred, max_groups,
+                                 value_of, max_matches=max_matches)
+        if not bool(ok):
+            res = _fja_reference(r, s, r_pred, s_pred, max_out,
+                                 max_groups, value_of)
+            ok = jnp.bool_(True)
+        sync(res.join_count)
+        all_ok = all_ok and bool(rin) and bool(sin)
+        total += int(res.join_count)
+        n_groups += int(res.n_groups)
+        if consume is not None:
+            consume(k, res)
+    return total, n_groups, all_ok

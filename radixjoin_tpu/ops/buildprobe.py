@@ -992,11 +992,32 @@ def _windowed_prep(r_sorted, s_sorted, s_rids, w: int, gr: int,
 
     heads = rk[::128]
     tails = rk[127::128]
-    j0 = jnp.searchsorted(s_sorted, heads, side="left").astype(jnp.int32)
-    j1 = jnp.searchsorted(s_sorted, tails, side="right").astype(jnp.int32)
-    w_row = j0 // 128                                   # window start row
     row_valid = heads != jnp.int32(_R_SENT_B)
-    cover_ok = jnp.all(jnp.where(row_valid, j1 <= (w_row + w) * 128, True))
+    if n_s >= (1 << 22):
+        # Coarse row-granular search (the diagonal probe's v2 fix applied
+        # here): element-exact searchsorted over the FULL S array goes
+        # superlinear past ~100M on this chip (BENCH_NOTES round 1), so
+        # search S ROW HEADS (1/128th the domain) instead.
+        #   w_row = (first row whose head >= r_head) - 1 is safe: rows
+        #   before it end strictly below r_head (their elements are <=
+        #   the next row's head < r_head), so no match can precede it —
+        #   including duplicate keys straddling a row boundary.
+        #   Coverage is checked at row granularity: every S element <=
+        #   r_tail lies before the first row whose head > r_tail, so
+        #   j1_row <= w_row + w is (conservatively) sufficient.
+        s_heads = s2d[:, 0]
+        w_row = jnp.maximum(
+            jnp.searchsorted(s_heads, heads, side="left")
+            .astype(jnp.int32) - 1, 0)
+        j1_row = jnp.searchsorted(s_heads, tails,
+                                  side="right").astype(jnp.int32)
+        cover_ok = jnp.all(jnp.where(row_valid, j1_row <= w_row + w, True))
+    else:
+        j0 = jnp.searchsorted(s_sorted, heads, side="left").astype(jnp.int32)
+        j1 = jnp.searchsorted(s_sorted, tails, side="right").astype(jnp.int32)
+        w_row = j0 // 128                               # window start row
+        cover_ok = jnp.all(jnp.where(row_valid,
+                                     j1 <= (w_row + w) * 128, True))
 
     wg = jnp.clip(w_row.reshape(n_groups, gr)[:, 0], 0, s_max_row)
     base = w_row.reshape(n_groups, gr) - wg[:, None]

@@ -421,6 +421,89 @@ def test_pipeline_multimatch_payload_falls_back():
     assert ga == gb and int(res.join_count) == int(ref.join_count)
 
 
+def test_pipeline_ranged_runs():
+    # The windowed-emit interpret-mode compile is large; on top of ~50
+    # tests' accumulated XLA:CPU code mappings it segfaults LLVM (the
+    # vm.max_map_count class, cf. conftest) — start from a clean cache.
+    jax.clear_caches()
+    # filter->join->aggregate at beyond-sort-cap scale via ranged runs:
+    # per-run groups are disjoint (GROUP BY key lives in one run); the
+    # dup-dim variant forces the M-plane rung inside a run.
+    from radixjoin_tpu.engine.pipeline import filter_join_aggregate_ranged_runs
+    n = 1 << 12
+    runs = 2
+    nr = n // runs
+    rng = np.random.default_rng(61)
+
+    def make_sources(dim_dup):
+        def r_source(k, n_runs):
+            keys = (rng.permutation(nr).astype(np.uint32) + k * nr)
+            keys = np.tile(keys, dim_dup)
+            rids = np.arange(keys.size, dtype=np.uint32) + k * keys.size
+            return jnp.asarray(keys), jnp.asarray(rids)
+
+        def s_source(k, n_runs):
+            keys = (rng.integers(0, nr, 2 * nr).astype(np.uint32) + k * nr)
+            rids = np.arange(keys.size, dtype=np.uint32) + k * keys.size
+            return jnp.asarray(keys), jnp.asarray(rids)
+        return r_source, s_source
+
+    # counting aggregation, unique dims: fast path per run
+    rng = np.random.default_rng(61)
+    r_source, s_source = make_sources(1)
+    seen = {}
+
+    def consume(k, res):
+        gk = np.asarray(res.group_keys)[np.asarray(res.group_valid)]
+        gs = np.asarray(res.group_sums)[np.asarray(res.group_valid)]
+        lo, hi = k * nr, (k + 1) * nr
+        assert ((gk >= lo) & (gk < hi)).all()     # disjointness
+        for a, b in zip(gk.tolist(), gs.tolist()):
+            assert a not in seen
+            seen[a] = b
+
+    total, ngroups, ok = filter_join_aggregate_ranged_runs(
+        r_source, s_source, runs, n, None, None,
+        max_out=8 * n, max_groups=2 * n, consume=consume)
+    assert ok and total == 2 * n       # 2*nr fact rows per run, all match
+    assert ngroups == len(seen)
+
+    # payload aggregation with dup=2 dims: every fact row matches 2 dim
+    # rows -> the fast path flips, the M-plane rung must carry each run
+    rng = np.random.default_rng(61)
+    r_source, s_source = make_sources(2)
+    value_of = lambda rr, sr: (rr % 7 + sr % 5).astype(jnp.int32)
+    # numpy oracle over the SAME drawn workload
+    rng2 = np.random.default_rng(61)
+    want = {}
+    want_total = 0
+    for k in range(runs):
+        rk = np.tile(rng2.permutation(nr).astype(np.uint32) + k * nr, 2)
+        rr_ = np.arange(rk.size, dtype=np.uint32) + k * rk.size
+        sk = rng2.integers(0, nr, 2 * nr).astype(np.uint32) + k * nr
+        sr_ = np.arange(sk.size, dtype=np.uint32) + k * sk.size
+        by_key = {}
+        for kk, rid in zip(rk.tolist(), rr_.tolist()):
+            by_key.setdefault(kk, []).append(rid)
+        for kk, srid in zip(sk.tolist(), sr_.tolist()):
+            for rrid in by_key[kk]:
+                want[kk] = want.get(kk, 0) + (rrid % 7 + srid % 5)
+                want_total += 1
+    consume2 = []
+    total, ngroups, ok = filter_join_aggregate_ranged_runs(
+        r_source, s_source, runs, n, None, None,
+        max_out=16 * n, max_groups=2 * n, value_of=value_of,
+        consume=lambda k, res: consume2.append((k, res)))
+    assert ok and total == want_total
+    got = {}
+    for k, res in consume2:
+        gk = np.asarray(res.group_keys)[np.asarray(res.group_valid)]
+        gs = np.asarray(res.group_sums)[np.asarray(res.group_valid)]
+        for a, b in zip(gk.tolist(), gs.tolist()):
+            got[a] = got.get(a, 0) + b
+    assert got == want
+
+
 def test_inhbm_keys_join():
     # Phased keys-only large-N path (engine/large.py): oracle + agreement
     # with the general engine on random multiplicity data.
@@ -510,6 +593,69 @@ def test_inhbm_ranged_runs():
                                  n_r_total=n, n_s_total=n,
                                  ranged_domain=n)
     assert (not bool(ok)) or int(m) == n
+
+
+def test_large_rows_materialize():
+    # The windowed-emit interpret-mode compile is large; on top of ~50
+    # tests' accumulated XLA:CPU code mappings it segfaults LLVM (the
+    # vm.max_map_count class, cf. conftest) — start from a clean cache.
+    jax.clear_caches()
+    # Large-N materialising join (engine/large.py join_rows_keys_inhbm +
+    # ranged runs): dense per-sorted-R output, bit-exact row pairing.
+    from radixjoin_tpu.engine.large import (join_rows_keys_inhbm,
+                                            join_rows_keys_ranged_runs,
+                                            gen_unique_tuples_ranged_run)
+    n = 1 << 13
+    rng = np.random.default_rng(60)
+    rk = rng.permutation(n).astype(np.uint32)
+    sk = rng.permutation(n).astype(np.uint32)
+    rr = np.arange(n, dtype=np.uint32)
+    out = join_rows_keys_inhbm(jnp.asarray(rk), jnp.asarray(rr),
+                               jnp.asarray(sk), jnp.asarray(rr),
+                               rows_per_group=8)
+    r_rid, s_rid, cnt, win_ok, multi = map(np.asarray, out)
+    assert bool(win_ok) and not bool(multi)
+    assert (cnt == 1).all()
+    # bit-exact pairing: the matched rows really carry equal keys,
+    # and every row of each side appears exactly once
+    np.testing.assert_array_equal(rk[r_rid], sk[s_rid])
+    assert len(set(r_rid.tolist())) == n and len(set(s_rid.tolist())) == n
+
+    # multi-match keys: counts stay exact, multi flag raised
+    sk2 = sk.copy()
+    sk2[sk2 == 7] = 3  # key 3 now appears twice, key 7 vanishes
+    out = join_rows_keys_inhbm(jnp.asarray(rk), jnp.asarray(rr),
+                               jnp.asarray(sk2), jnp.asarray(rr),
+                               rows_per_group=8)
+    _, _, cnt, win_ok, multi = map(np.asarray, out)
+    assert bool(win_ok) and bool(multi)
+    assert cnt.sum() == n  # n-2 unique + 2 for key 3 + 0 for key 7
+
+    # ranged runs wrapper: every pair's rows verified against the
+    # generator's rid -> key bijection
+    runs = 2
+    nr = n // runs
+    odd_r, odd_s = 2654435761 | 1, 0x9E3779B1 ^ 0x40
+    rsrc = gen_unique_tuples_ranged_run(n, odd_r)
+    ssrc = gen_unique_tuples_ranged_run(n, odd_s)
+
+    def key_of(rid, odd):
+        return ((rid % nr) * odd) % nr + (rid // nr) * nr
+
+    seen_r = []
+
+    def consume(k, rrs, srid, cnt):
+        rrs, srid, cnt = map(np.asarray, (rrs, srid, cnt))
+        assert (cnt == 1).all()
+        np.testing.assert_array_equal(
+            key_of(rrs.astype(np.int64), odd_r),
+            key_of(srid.astype(np.int64), odd_s))
+        seen_r.extend(rrs.tolist())
+
+    total, ok = join_rows_keys_ranged_runs(rsrc, ssrc, runs, n, n, n,
+                                           consume, rows_per_group=8)
+    assert ok and total == n
+    assert len(set(seen_r)) == n
 
 
 def test_skew_runs_decomposition():

@@ -93,6 +93,30 @@ def test_distributed_checked_escalates_to_exact(mesh2):
     assert total == (2 * per) ** 2
 
 
+def test_distributed_checked_tier_overflow_recovers(mesh2):
+    """Tier overflow (not shuffle overflow): a key at ~25% frequency fits
+    the shuffle capacity spread over partitions but overflows the tiered
+    probe's partition capacity; the checked wrapper must still deliver
+    the exact count."""
+    per = 4096
+    n = per * 2
+    rng = np.random.default_rng(50)
+    rk = rng.integers(0, n, n, dtype=np.uint32)
+    sk = rng.integers(0, n, n, dtype=np.uint32)
+    sk[: n // 4] = 12345
+    rng.shuffle(sk)
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    ru, rc = np.unique(rk, return_counts=True)
+    su, sc = np.unique(sk, return_counts=True)
+    _, ri, si = np.intersect1d(ru, su, return_indices=True)
+    want = int(np.sum(rc[ri].astype(np.int64) * sc[si].astype(np.int64)))
+    cfg = JoinConfig(use_pallas=False, allocation_factor=4.0)
+    run = make_distributed_join_checked(mesh2, per, per, cfg)
+    total, escalated = run(r, s)
+    assert total == want
+
+
 def test_distributed_checked_no_escalation_when_ok(mesh2):
     """Clean workloads stay on the fast path (escalated=False)."""
     from radixjoin_tpu.data import relation as gen

@@ -389,6 +389,44 @@ def test_join_materialize_windowed():
             assert cnt[i] == 0, i
 
 
+def test_windowed_prep_coarse_matches_exact():
+    # The coarse row-head search (n_s >= 2^22, the probe-v2 fix applied
+    # to _windowed_prep) must produce window geometry that still COVERS
+    # every match — checked against the element-exact formulation on a
+    # workload with duplicate keys straddling row boundaries.
+    # R is the driving (fact) side, S the dim side: S must not dwarf R or
+    # no window can cover (the kernel's contract) — S just crosses the
+    # coarse-search threshold, R is 2x larger.
+    n_s = (1 << 22) + 4096
+    n_r = 1 << 23
+    rng = np.random.default_rng(77)
+    sk = np.sort(rng.integers(0, n_s // 2, n_s).astype(np.uint32))
+    # force runs of duplicates that straddle 128-lane row boundaries
+    sk[1000:1000 + 640] = sk[1000]
+    sk = np.sort(sk)
+    rk = np.sort(rng.choice(sk, n_r).astype(np.uint32))
+    rs = bp.bias_keys(jnp.asarray(rk))
+    ss = bp.bias_keys(jnp.asarray(sk), None, 0xFFFFFFFE)
+    srid = jnp.arange(n_s, dtype=jnp.uint32)
+    w, gr = 8, 8
+    wg_c, wmeta_c, *_, ok_c = bp._windowed_prep(rs, ss, srid, w, gr, None)
+    assert bool(ok_c), "coarse geometry must cover this balanced workload"
+    # coverage invariant, checked directly in numpy: every S index that
+    # holds a key of R-row i must lie inside [start, start + w) rows,
+    # where start = wg[group] + base[group, row-in-group]
+    wg_np = np.asarray(wg_c)
+    base_np = np.asarray(wmeta_c)[:, 1:1 + gr]
+    heads = rk.reshape(-1, 128)[:, 0]
+    tails = rk.reshape(-1, 128)[:, -1]
+    j0 = np.searchsorted(sk, heads, side="left")
+    j1 = np.searchsorted(sk, tails, side="right")
+    for row in range(heads.shape[0]):
+        g, k = divmod(row, gr)
+        start = (wg_np[g] + base_np[g, k]) * 128
+        assert start <= j0[row] and j1[row] <= start + w * 128, (
+            row, start, j0[row], j1[row])
+
+
 def test_join_materialize_windowed_multimatch_flags():
     # dim side with duplicate keys -> some fact elements match 2 rows
     fk = np.arange(256, dtype=np.uint32)
