@@ -109,18 +109,39 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
         # twice downstream: pass 2 skips BOTH device partition sorts (the
         # in-HBM engine's dominant cost) via the presorted diagonal probe,
         # and the interconnect moves monotone streams.
-        def spill_host(keys_np):
-            skeys = native.radix_sort_keys(keys_np)
+        def bucket_slices(skeys):
             cuts = (np.arange(1, n_coarse, dtype=np.uint64)
                     << np.uint64(32 - coarse_bits)).astype(np.uint32)
             bounds = [0, *np.searchsorted(skeys, cuts).tolist(),
                       skeys.shape[0]]
             return [skeys[bounds[p]:bounds[p + 1]] for p in range(n_coarse)]
 
-        rk_b = spill_host(r_keys)
-        sk_b = spill_host(s_keys)
         if mode == "diagonal":
-            return _pass2_presorted(rk_b, sk_b, cfg, skew_aware)
+            # Sort/transfer overlap (the reference's tiled-cursor overlap,
+            # kernels_tile.cu:61-102): S's native sort runs on a worker
+            # thread (ctypes releases the GIL; the sort is the other
+            # core's work) WHILE R's compressed bucket streams cross the
+            # interconnect — the transfer is network-bound, so the two
+            # costs genuinely stack.
+            import threading
+            rk_b = bucket_slices(native.radix_sort_keys(r_keys))
+            box: dict = {}
+            th = threading.Thread(
+                target=lambda: box.__setitem__(
+                    "s", native.radix_sort_keys(s_keys)))
+            th.start()
+            max_rb = max(1024, max((b.shape[0] for b in rk_b), default=0))
+            pad_r = ((max_rb + 1023) // 1024) * 1024
+            r_staged = {p: tuple(map(jnp.asarray,
+                                     _delta_encode(rk_b[p], pad_r,
+                                                   0xFFFFFFFF)))
+                        for p in range(n_coarse) if rk_b[p].shape[0]}
+            th.join()
+            sk_b = bucket_slices(box["s"])
+            return _pass2_presorted(rk_b, sk_b, cfg, skew_aware,
+                                    r_staged=r_staged, pad_r=pad_r)
+        rk_b = bucket_slices(native.radix_sort_keys(r_keys))
+        sk_b = bucket_slices(native.radix_sort_keys(s_keys))
         return _pass2(rk_b, sk_b, cfg, coarse_bits, skew_aware, mode)
 
     part_fn = _partition_chunk_keys_fn(chunk, coarse_bits)
@@ -170,43 +191,140 @@ def _diag_presorted(kr, ks, k_drift, rows_per_group):
                                 rows_per_group=rows_per_group)
 
 
-def _pass2_presorted(rk_b, sk_b, cfg, skew_aware) -> int:
+def _delta_encode(keys: np.ndarray, pad_to: int, sentinel: int):
+    """Delta-compress a host-SORTED uint32 bucket for the wire.
+
+    A sorted stream's first differences are tiny (mean gap = domain/n), so
+    the interconnect moves a uint8 delta stream — 4x less traffic than raw
+    keys, the OOC path's entire bottleneck (the reference compresses its
+    network tuples the same way for the same reason, CompressedTuple /
+    NetworkPartitioning.cpp:128-129) — plus a sparse exception list for
+    gaps >= 255 (escape marker 255, extra = gap - 255 scattered on
+    device).  The padded tail is part of the stream: one escape jumps to
+    ``sentinel`` and zero-deltas hold it, so the decoded array is exactly
+    the sentinel-padded sorted bucket the diagonal probe expects.
+
+    Returns (deltas_u8[pad_to], pos_i32[n_exc], extra_u32[n_exc]).
+    """
+    n = keys.shape[0]
+    d = np.empty(pad_to, np.uint32)
+    d[0] = keys[0] if n else np.uint32(sentinel)
+    np.subtract(keys[1:], keys[:-1], out=d[1:n])
+    if n and pad_to > n:
+        d[n] = np.uint32(sentinel) - keys[n - 1]
+        d[n + 1:] = 0
+    esc = d >= 255
+    pos = np.flatnonzero(esc).astype(np.int32)
+    extra = d[pos] - 255
+    du8 = np.where(esc, np.uint32(255), d).astype(np.uint8)
+    # Pad exceptions to a power-of-2 size so every bucket shares one
+    # compiled decode (a fresh remote compile per bucket would dwarf the
+    # transfer savings); padded entries scatter-add 0 at position 0.
+    cap = 1
+    while cap < pos.shape[0]:
+        cap <<= 1
+    pos = np.pad(pos, (0, cap - pos.shape[0]))
+    extra = np.pad(extra, (0, cap - extra.shape[0]))
+    return du8, pos, extra
+
+
+@jax.jit
+def _delta_decode(du8: jnp.ndarray, pos: jnp.ndarray, extra: jnp.ndarray):
+    # NOT donated: pre-staged streams (sort/transfer overlap) are decoded
+    # again on the escalation path; donation would consume them.
+    """uint8 deltas + exceptions -> biased-int32 sorted keys (on device).
+
+    Exact: every true prefix sum is a key value < 2^32, so uint32
+    accumulation never wraps.  The scatter-add touches only exception
+    positions (near zero for dense buckets)."""
+    d = du8.astype(jnp.uint32)
+    d = d.at[pos].add(extra)
+    return bias_keys(jnp.cumsum(d, dtype=jnp.uint32))
+
+
+@functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group"))
+def _diag_prebias(kr_b, ks_b, k_drift, rows_per_group):
+    # Decoded buckets arrive already biased (bias_keys fused into decode).
+    return probe_count_diagonal(kr_b, ks_b, k_drift=k_drift,
+                                rows_per_group=rows_per_group)
+
+
+def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
+                     pad_r=None) -> int:
     """Join host-SORTED bucket pairs: rank-diagonal probe directly on the
     staged keys (zero device sorts), escalating any bucket that trips the
-    probe's exact coverage check to the always-correct mergecount rung."""
+    probe's exact coverage check to the always-correct mergecount rung.
+
+    Interconnect and overlap discipline (this path is transfer-bound —
+    the relay here moves ~25 MB/s; PCIe on a real host is ~100x but the
+    ratios persist): buckets cross as uint8 delta streams (4x), and no
+    result is pulled until every pair's decode+probe is dispatched, so
+    bucket p's device work overlaps the host-side encode + H2D of bucket
+    p+1 (the reference's tiled-cursor overlap, kernels_tile.cu:61-102).
+    Escalations re-probe only the failing pairs afterwards.
+    """
     n_coarse = len(rk_b)
-    total = 0
     max_rb = max(1024, max((b.shape[0] for b in rk_b), default=0))
     max_sb = max(1024, max((b.shape[0] for b in sk_b), default=0))
-    pad_r = ((max_rb + 1023) // 1024) * 1024
+    if pad_r is None:
+        pad_r = ((max_rb + 1023) // 1024) * 1024
     pad_s = ((max_sb + 1023) // 1024) * 1024
-    # Sentinel padding keeps the staged array sorted (keys < 2^32 - 16) and
-    # maps straight onto the probe's side-distinct padding convention.
-    kr = np.full(pad_r, 0xFFFFFFFF, np.uint32)
-    ks = np.full(pad_s, 0xFFFFFFFE, np.uint32)
+
+    def decode_pair(p):
+        # Sentinel padding keeps the staged array sorted (keys <
+        # 2^32 - 16) and maps onto the probe's side-distinct convention.
+        if r_staged is not None and p in r_staged:
+            kr_dev = _delta_decode(*r_staged[p])
+        else:
+            kr_dev = _delta_decode(*map(jnp.asarray,
+                                        _delta_encode(rk_b[p], pad_r,
+                                                      0xFFFFFFFF)))
+        ks_dev = _delta_decode(*map(jnp.asarray,
+                                    _delta_encode(sk_b[p], pad_s,
+                                                  0xFFFFFFFE)))
+        return kr_dev, ks_dev
+
+    # One-deep pipeline: dispatch pair p's decode+probe, then pull pair
+    # p-1's count — bucket p's host encode + H2D overlaps bucket p-1's
+    # device probe, while at most two pairs are resident (~4 x bucket).
+    results = []                              # (p, nr, ns, m, ok)
+    prev = None
+    live = [q for q in range(n_coarse)
+            if rk_b[q].shape[0] and sk_b[q].shape[0]]
+    for p in live:
+        kr_dev, ks_dev = decode_pair(p)
+        m, ok = _diag_prebias(kr_dev, ks_dev, cfg.diagonal_k,
+                              cfg.diagonal_rows_per_group)
+        del kr_dev, ks_dev                    # freed once the probe runs
+        if prev is not None:
+            q, m0, ok0 = prev
+            results.append((q, int(m0), bool(ok0)))
+        prev = (p, m, ok)
+    if prev is not None:
+        q, m0, ok0 = prev
+        results.append((q, int(m0), bool(ok0)))
+
+    total = 0
     zr = zs = None
-    for p in range(n_coarse):
+    unbias = jax.jit(lambda b: jax.lax.bitcast_convert_type(
+        b, jnp.uint32) ^ jnp.uint32(0x80000000))
+    for p, m, ok in results:
+        if ok:
+            total += m
+            continue
+        # Escalation (skew / unbalanced bucket): terminal concat-sort
+        # count; the bucket is re-staged (escalations are the rare tail —
+        # re-transfer beats pinning every bucket on device).  Bias is
+        # undone first (mergecount expects raw uint32 keys); sentinels
+        # are masked by the valid counts exactly like any padded suffix.
         nr, ns = rk_b[p].shape[0], sk_b[p].shape[0]
-        if nr == 0 or ns == 0:
-            continue
-        kr[:nr] = rk_b[p]; kr[nr:] = np.uint32(0xFFFFFFFF)
-        ks[:ns] = sk_b[p]; ks[ns:] = np.uint32(0xFFFFFFFE)
-        kr_dev = jnp.asarray(kr)
-        ks_dev = jnp.asarray(ks)
-        m, ok = _diag_presorted(kr_dev, ks_dev, cfg.diagonal_k,
-                                cfg.diagonal_rows_per_group)
-        if bool(ok):
-            total += int(m)
-            continue
-        # Escalation (skew / unbalanced bucket): terminal concat-sort count
-        # on the same staged device arrays; sentinels are masked by the
-        # valid counts exactly like any padded suffix.
         if zr is None:
             zr = jnp.zeros(pad_r, jnp.uint32)
             zs = jnp.zeros(pad_s, jnp.uint32)
+        kr_dev, ks_dev = decode_pair(p)
         total += join_count_checked(
-            Relation(kr_dev, zr), Relation(ks_dev, zs), cfg,
-            mode="mergecount", skew_aware=True,
+            Relation(unbias(kr_dev), zr), Relation(unbias(ks_dev), zs),
+            cfg, mode="mergecount", skew_aware=True,
             r_valid_count=jnp.int32(nr), s_valid_count=jnp.int32(ns))
     return total
 
