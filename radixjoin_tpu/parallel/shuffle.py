@@ -78,10 +78,18 @@ def shuffle_by_destination(keys: jnp.ndarray, rids: jnp.ndarray,
 def shuffle_chunked(keys: jnp.ndarray, rids: jnp.ndarray, dest: jnp.ndarray,
                     capacity: int, axis: str, n_rounds: int,
                     drop_mask: jnp.ndarray | None = None) -> ShuffledShard:
-    """Multi-round shuffle: the exchange is split into ``n_rounds`` slices of
-    the send buffer so XLA can overlap round k's ICI transfer with round
-    k-1's downstream compute — the TPU analogue of the reference's
-    double-buffered 64 KiB put pipeline (NetworkPartitioning.cpp:146-165).
+    """Multi-round shuffle: the exchange is split into ``n_rounds`` slices
+    of the send buffer — the TPU analogue of the reference's
+    double-buffered 64 KiB put pipeline (NetworkPartitioning.cpp:146-165),
+    structured so XLA's scheduler MAY overlap round k's ICI transfer with
+    round k-1's downstream compute on real multi-chip hardware.
+
+    Measured statement (benchmarks/shuffle_overlap_check.py, BENCH_NOTES):
+    on the 8-virtual-device CPU mesh — the only multi-device platform
+    available here, where XLA runs collectives synchronously — chunking
+    costs +1.7% (2 rounds) / +5.9% (4 rounds) over the single-shot
+    exchange; actual transfer/compute overlap is unverified until >=2
+    real chips exist, so ``shuffle_rounds=1`` stays the default.
 
     Capacity must be divisible by n_rounds.
     """
