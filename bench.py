@@ -74,7 +74,8 @@ def measure_sort_floor_ns(n: int = 1 << 28, reps: int = 3) -> float:
     return float(np.median(times)) / n * 1e9
 
 
-def bench_join_northstar(n: int, reps: int, meas, k_drift: int):
+def bench_join_northstar(n: int, reps: int, meas, k_drift: int,
+                         blocked: bool | None = None):
     """BASELINE.json north star: 1B x 1B per-chip count join, in HBM.
 
     Keys-only diagonal path with sorted-run decomposition
@@ -99,19 +100,25 @@ def bench_join_northstar(n: int, reps: int, meas, k_drift: int):
     runs = max(1, n >> 28)
     rsrc = gen_unique_keys_ranged_run(n, 2654435761 | 1)
     ssrc = gen_unique_keys_ranged_run(n, 0x9E3779B1 ^ 0x40)
+    # Sublane-blocked probe kernel (measured faster on-chip; see
+    # BENCH_NOTES.md round 3): the +-K shift loop batched over (8, 128)
+    # row blocks.  BENCH_BLOCKED_PROBE=0 falls back to the v2 kernel.
+    if blocked is None:
+        blocked = os.environ.get("BENCH_BLOCKED_PROBE", "1") == "1"
     total = 0.0
     for rep in range(reps + 1):          # rep 0 = compile warmup, untimed
         t0 = time.perf_counter()
         m, ok = join_count_keys_runs(rsrc, ssrc, r_runs=runs, s_runs=runs,
                                      sync=sync, n_r_total=n, n_s_total=n,
                                      k_drift=k_drift, ranged_domain=n,
-                                     meas=meas if rep else None)
+                                     meas=meas if rep else None,
+                                     blocked=blocked)
         if not ok and k_drift < 32:
             # diagonal drift/coverage tripped at this K: escalate once
             # (the engine ladder's bench-side mirror) and restart timing
             log(f"k_drift={k_drift} coverage tripped; escalating to "
                 f"{k_drift * 2}")
-            return bench_join_northstar(n, reps, meas, k_drift * 2)
+            return bench_join_northstar(n, reps, meas, k_drift * 2, blocked)
         if rep:
             total += time.perf_counter() - t0
         assert ok and m == n, f"oracle mismatch: {m} != {n} (ok={ok})"
@@ -175,7 +182,16 @@ def main():
             # North-star scale via the in-HBM keys-only runs path
             # (engine/large.py); falls back to the 134M general-engine
             # join below if the big run cannot complete.
-            dt = bench_join_northstar(n, reps, meas, k_drift)
+            try:
+                dt = bench_join_northstar(n, reps, meas, k_drift)
+            except Exception as e:
+                # A blocked-kernel compile/run failure must not cost the
+                # north-star scale: retry once with the proven v2 kernel.
+                log(f"northstar (blocked probe) failed "
+                    f"({type(e).__name__}: {e}); retrying blocked=False")
+                meas.phases.clear()
+                dt = bench_join_northstar(n, reps, meas, k_drift,
+                                          blocked=False)
         else:
             dt = bench_join(n)
     except Exception as e:  # OOM etc: scale down to the 134M engine path
@@ -198,6 +214,30 @@ def main():
     # per-rep ms per phase (phases accumulated over `reps` timed reps)
     phases = {name: round(st.seconds * 1e3 / reps, 1)
               for name, st in meas.phases.items()}
+    # Per-phase SoL fractions (reference MEASUREMENT_DETAILS tier,
+    # performance/Measurements.cpp:247-541): sort phases against the
+    # measured comparison-sort floor (each tuple passes exactly one
+    # sort), probe phases against the HBM roofline (>= one 4 B key read
+    # per tuple).  Note the deferred-pull attribution: probe execution
+    # partly bills into the next pair's GEN_SORT fence (BENCH_NOTES.md),
+    # so sort-phase fractions are conservative lower bounds.
+    phase_sol = {}
+    for name, st in meas.phases.items():
+        if st.seconds <= 0 or not st.tuples:
+            continue
+        if name.startswith("GEN_SORT"):
+            bound = st.tuples * sort_ns / 1e9
+        elif name.startswith("PROBE"):
+            bound = st.tuples * 4 / (hbm * 1e9)
+        else:
+            continue
+        frac = bound / st.seconds
+        # Deferred-pull attribution makes some phases dispatch-only (e.g.
+        # PROBE at <1 ms while its execution bills into the next fence);
+        # a fraction > 1 is physically impossible, so drop it rather than
+        # report a nonsense number.
+        if frac <= 1.0:
+            phase_sol[name] = round(frac, 3)
 
     log(f"join: {dt*1e3:.1f} ms  {mtps:.1f} Mt/s  "
         f"sort-floor SoL={sol_sort_mtps:.0f} Mt/s target={target:.0f} Mt/s "
@@ -217,6 +257,7 @@ def main():
         "sol_sort_mtps": round(sol_sort_mtps, 1),
         "sol_hbm_mtps": round(sol_hbm_mtps, 1),
         "phase_ms_per_rep": phases,
+        "phase_sol_fraction": phase_sol,
     }))
 
 

@@ -287,6 +287,16 @@ def run_northstar_steady_config(n: int, reps: int, meas, k: int = 8):
     rsrc = gen_unique_keys_ranged_run(n, 2654435761 | 1)
     ssrc = gen_unique_keys_ranged_run(n, 0x9E3779B1 ^ 0x40)
 
+    # Executables are shape-specific, so compile the gen+sort+prepad chain
+    # on a throwaway run FIRST — otherwise PREPARE_BUILD absorbs the
+    # process's first remote compile (~minutes over the relay) and the
+    # phase number stops meaning "prepare" (the round-3 668 s artifact).
+    with meas.phase("WARMUP_COMPILE"):
+        wp = diagonal_prepad(_sort_biased(rsrc(0, runs)), "r", nr, nr,
+                             k_drift=k, rows_per_group=32)
+        _sync(wp)
+        del wp
+
     with meas.phase("PREPARE_BUILD", tuples=n):
         rs_runs = []
         for i in range(runs):

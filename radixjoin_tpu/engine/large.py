@@ -80,7 +80,8 @@ def join_count_keys_runs(r_keys, s_keys,
                          n_r_total: int | None = None,
                          n_s_total: int | None = None,
                          meas=None,
-                         ranged_domain: int | None = None):
+                         ranged_domain: int | None = None,
+                         blocked: bool = False):
     """Count join via sorted-RUN decomposition: XLA's sort OOMs beyond
     2^29 u32 elements on a 16 GB chip (measured: a solo 1B lax.sort
     exhausts HBM — its scratch is ~2x the operand), so each side is split
@@ -125,7 +126,8 @@ def join_count_keys_runs(r_keys, s_keys,
             "ranged mode re-generates runs on fallback; pass callables")
         got = _join_ranged_runs(r_keys, s_keys, r_runs, k_drift,
                                 rows_per_group, sync or (lambda x: None),
-                                n_r_total, n_s_total, meas, ranged_domain)
+                                n_r_total, n_s_total, meas, ranged_domain,
+                                blocked)
         if got is not None:
             return got
         # range check tripped: fall through to the all-pairs decomposition
@@ -193,7 +195,7 @@ def join_count_keys_runs(r_keys, s_keys,
     with _phase("PROBE", tuples=n_r_total + n_s_total):
         parts = [probe_count_diagonal(rs, ss, k_drift=k_drift,
                                       rows_per_group=rows_per_group,
-                                      prepadded=(nr, ns))
+                                      prepadded=(nr, ns), blocked=blocked)
                  for rs in rs_runs for ss in ss_runs]
         total = sum(int(m) for m, _ in parts)
         ok = all(bool(o) for _, o in parts)
@@ -201,7 +203,8 @@ def join_count_keys_runs(r_keys, s_keys,
 
 
 def _join_ranged_runs(r_source, s_source, runs, k_drift, rows_per_group,
-                      sync, n_r_total, n_s_total, meas, domain):
+                      sync, n_r_total, n_s_total, meas, domain,
+                      blocked=False):
     """Diagonal-pairs-only probe over value-range-partitioned runs (see
     join_count_keys_runs ``ranged_domain``).  Returns (matches, ok), or
     None if any run's on-device range check fails — the caller then falls
@@ -255,7 +258,8 @@ def _join_ranged_runs(r_source, s_source, runs, k_drift, rows_per_group,
         with _phase("PROBE", tuples=nr + ns):
             m, okp = probe_count_diagonal(rp, sp, k_drift=k_drift,
                                           rows_per_group=rows_per_group,
-                                          prepadded=(nr, ns))
+                                          prepadded=(nr, ns),
+                                          blocked=blocked)
         pair.append((m, okp, rin, sin))
         # No sync on the probe: its outputs are scalars and its inputs
         # (this pair's prepped runs, ~2.2 GB) stay live only until it

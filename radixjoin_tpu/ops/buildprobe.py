@@ -668,6 +668,99 @@ def _probe_diag_kernel(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
         + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol), 0)
 
 
+def _probe_diag_kernel_blocked(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
+                               out_ref, scratch, sems):
+    """Sublane-blocked diagonal probe: same per-row exact window offsets
+    as :func:`_probe_diag_kernel`, but the +-K shift loop and the coverage
+    check run on (8, 128) blocks of 8 realigned rows at once.  The v2
+    kernel's shift math is all (1, 128) ops — one VPU issue moving 1/8th
+    of a native (8, 128) vreg — so the issue-bound inner loop wastes 7/8
+    of the unit; batching 8 rows per issue cuts the dominant cost ~8x
+    while the per-row realignment (rolls whose shift differs per row, so
+    they cannot batch) stays identical.  Counting and coverage semantics
+    are bit-identical to v2: each sublane of the block carries exactly
+    one row's window, so the uniqueness argument for out-of-band pairs
+    and the monotone-envelope check apply per sublane unchanged."""
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    k = jax.lax.rem(g, _ROWS)
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def band_dma(gi, sl):
+        return pltpu.make_async_copy(
+            s_ref.at[pl.ds(wg_ref[gi], b8), :], scratch.at[sl], sems.at[sl])
+
+    @pl.when(g == 0)
+    def _():
+        band_dma(0, 0).start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        band_dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+    band_dma(g, slot).wait()
+
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    lanes8 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
+    band = scratch[slot]                                # (b8, 128)
+
+    cnt8 = jnp.zeros((_ROWS, 128), jnp.int32)
+    viol8 = jnp.zeros((_ROWS, 128), jnp.int32)
+    ov = jnp.int32(0)
+    for j in range(gr // _ROWS):
+        r8 = rk_ref[pl.ds(j * _ROWS, _ROWS), :]         # (8, 128)
+        s0_rows = []
+        s1_rows = []
+        for i in range(_ROWS):
+            rrow = rk_ref[j * _ROWS + i:j * _ROWS + i + 1, :]
+            head = rrow[0, 0]
+            rvalid_s = (head != jnp.int32(_R_SENT_B)).astype(jnp.int32)
+            e_raw = jnp.sum((band < head).astype(jnp.int32))
+            ov = ov + (e_raw > e_cap).astype(jnp.int32) * rvalid_s
+            e = jnp.clip(e_raw, 0, e_cap) * rvalid_s
+            base = e // 128
+            ksh = e - base * 128
+            a = scratch[slot, pl.ds(base, 2), :]
+            b = scratch[slot, pl.ds(base + 1, 2), :]
+            sh_al = jax.lax.rem(128 - ksh, 128)
+            rol_a = pltpu.roll(a, sh_al, axis=1)
+            rol_b = pltpu.roll(b, sh_al, axis=1)
+            swin = jnp.where(lanes2 < 128 - ksh, rol_a, rol_b)
+            s0_rows.append(swin[0:1, :])
+            s1_rows.append(swin[1:2, :])
+        s0 = jnp.concatenate(s0_rows, axis=0)           # (8, 128)
+        s1 = jnp.concatenate(s1_rows, axis=0)
+
+        acc = (s0 == r8).astype(jnp.int32)
+        for sh in range(1, K + 1):
+            rolled = pltpu.roll(r8, sh, axis=1)
+            acc = acc + (s0 == rolled).astype(jnp.int32) \
+                      + (s1 == rolled).astype(jnp.int32)
+        for sh in range(128 - K, 128):
+            rolled = pltpu.roll(r8, sh, axis=1)
+            acc = acc + (s0 == rolled).astype(jnp.int32)
+        cnt8 = cnt8 + acc
+
+        rvalid = (r8 != jnp.int32(_R_SENT_B)).astype(jnp.int32)
+        c0 = pltpu.roll(s0, 127 - K, axis=1)            # s[(l+K+1) % 128]
+        c1 = pltpu.roll(s1, 127 - K, axis=1)
+        s_hi = jnp.where(lanes8 < 127 - K, c0, c1)      # s[l+K+1]
+        viol8 = viol8 + (s_hi <= r8).astype(jnp.int32) * rvalid
+        c2 = pltpu.roll(s0, K + 1, axis=1)              # s[(l-K-1) % 128]
+        v2 = (c2 >= r8).astype(jnp.int32) * rvalid
+        viol8 = viol8 + jnp.where(lanes8 >= K + 1, v2, 0)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
+    out_ref[...] += \
+        jnp.where((iota_r == k) & (iota_l == 0), jnp.sum(cnt8), 0) \
+        + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol8) + ov, 0)
+
+
 def _diag_geometry(n_r: int, n_s: int, k_drift: int, rows_per_group: int,
                    band_blocks: int | None, budget: int = 1024):
     """Static shape plan shared by the probe and ``diagonal_prepad``.
@@ -725,13 +818,14 @@ def diagonal_prepad(sorted_keys: jnp.ndarray, side: str,
 
 @functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group",
                                              "band_blocks", "interpret",
-                                             "prepadded"))
+                                             "prepadded", "blocked"))
 def probe_count_diagonal(r_sorted: jnp.ndarray, s_sorted: jnp.ndarray,
                          k_drift: int = 16,
                          rows_per_group: int = 32,
                          band_blocks: int | None = None,
                          interpret: bool | None = None,
-                         prepadded: tuple[int, int] | None = None):
+                         prepadded: tuple[int, int] | None = None,
+                         blocked: bool = False):
     """Diagonal rank-band count join over fully-sorted biased-int32 keys.
 
     ``r_sorted``/``s_sorted`` come from ``jax.lax.sort(bias_keys(...))``;
@@ -746,6 +840,11 @@ def probe_count_diagonal(r_sorted: jnp.ndarray, s_sorted: jnp.ndarray,
     ``prepadded=(n_r, n_s)``: the inputs already carry the sentinel
     padding from :func:`diagonal_prepad` (called with the SAME k_drift /
     rows_per_group / band_blocks); n_r/n_s are the true unpadded sizes.
+
+    ``blocked``: run the sublane-blocked kernel variant — identical
+    semantics and geometry (prepadded arrays interchange freely), with
+    the +-K shift loop batched over (8, 128) row blocks (see
+    :func:`_probe_diag_kernel_blocked`).
     """
     if interpret is None:
         interpret = pallas_interpret()
@@ -800,8 +899,9 @@ def probe_count_diagonal(r_sorted: jnp.ndarray, s_sorted: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    kern = _probe_diag_kernel_blocked if blocked else _probe_diag_kernel
     per_group = pl.pallas_call(
-        functools.partial(_probe_diag_kernel, K, b8, gr, e_cap),
+        functools.partial(kern, K, b8, gr, e_cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
         interpret=interpret,
@@ -1182,9 +1282,11 @@ def _emit_kernel_mplane(w, b8, gr, M, unroll, wg_ref, wmeta_ref, rk_ref,
                 for p in range(M))
             return (run + pltpu.roll(acc - run_j, back, axis=1), new_planes)
 
-        # Mosaic accepts only unroll 1 or full; interpret mode (CPU tests)
-        # uses 1 — tracing the 128x-unrolled M-plane body per grid step is
-        # minutes-slow, and dynamic roll shifts are legal in [0, 128).
+        # unroll=1 everywhere: Mosaic accepts only unroll 1 or full, the
+        # fully-unrolled M-carry body exceeds the 16 MB scoped-VMEM stack
+        # (see the clamp in join_materialize_windowed_multi), interpret
+        # tracing of the unrolled body is minutes-slow, and dynamic roll
+        # shifts are legal in [0, 128).
         run, planes = jax.lax.fori_loop(
             0, 128, shift_body,
             (jnp.zeros((1, 128), jnp.int32),
@@ -1220,8 +1322,16 @@ def join_materialize_windowed_multi(r_sorted: jnp.ndarray,
     if interpret is None:
         interpret = pallas_interpret()
     w = window_rows
-    gr = rows_per_group
     M = max_matches
+    # Scoped-VMEM clamp (measured on v5e): with the 128-shift loop fully
+    # unrolled, Mosaic's kernel stack for the M-carry body blows the
+    # 16 MB scoped limit (18.95 MB at gr=32/M=2, still 16.28 MB at
+    # gr=16/M=2 — a compile-time OOM, and a failed remote compile wedges
+    # the relay worker ~40 min, CLAUDE.md hazards).  So on hardware this
+    # kernel runs the shift loop UN-unrolled (dynamic roll shifts are
+    # legal in [0, 128); the per-shift body is heavy — w x M selects —
+    # so loop overhead amortises) and caps the group at 8 rows.
+    gr = min(rows_per_group, 8)
     assert gr % _ROWS == 0 and gr <= 120 and 1 <= M <= 8
     n_r = r_sorted.shape[0]
     wg, wmeta, r2d, s2d, srid2d, n_groups8, b8, win_ok = _windowed_prep(
@@ -1251,8 +1361,7 @@ def join_materialize_windowed_multi(r_sorted: jnp.ndarray,
         ],
     )
     outs = pl.pallas_call(
-        functools.partial(_emit_kernel_mplane, w, b8, gr, M,
-                          1 if interpret else 128),
+        functools.partial(_emit_kernel_mplane, w, b8, gr, M, 1),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_groups8 * gr, 128), jnp.int32)
                    for _ in range(M + 1)],

@@ -359,6 +359,30 @@ def test_probe_count_diagonal_fuzz_ok_implies_exact():
     assert n_ok >= 6   # the check must not be so conservative it never ok's
 
 
+def test_probe_count_diagonal_blocked_parity():
+    # the sublane-blocked kernel must agree bit-for-bit with v2 (count
+    # AND ok flag) across ok=True and ok=False regimes
+    rng = np.random.default_rng(35)
+    cases = []
+    cases.append((rng.permutation(8192).astype(np.uint32),
+                  rng.permutation(8192).astype(np.uint32), 8))
+    cases.append((rng.integers(0, 1500, 2048).astype(np.uint32),
+                  rng.integers(0, 1500, 2048).astype(np.uint32), 64))
+    cases.append((rng.integers(0, 900, 2048).astype(np.uint32),
+                  rng.integers(0, 900, 2048).astype(np.uint32), 8))  # trips
+    for r, s, K in cases:
+        rs = _diag_sorted(r)
+        ss = _diag_sorted(s, sentinel=0xFFFFFFFE)
+        gr = 8 if K > 16 else 32
+        m1, ok1 = bp.probe_count_diagonal(rs, ss, k_drift=K,
+                                          rows_per_group=gr)
+        m2, ok2 = bp.probe_count_diagonal(rs, ss, k_drift=K,
+                                          rows_per_group=gr, blocked=True)
+        assert int(m1) == int(m2) and bool(ok1) == bool(ok2)
+        if bool(ok1):
+            assert int(m1) == _np_join_count(r, s)
+
+
 def test_join_materialize_windowed():
     # fact (R side of the kernel) has duplicate keys; dim (S side) unique:
     # every fact element matches <= 1 dim row
