@@ -109,12 +109,25 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
         # twice downstream: pass 2 skips BOTH device partition sorts (the
         # in-HBM engine's dominant cost) via the presorted diagonal probe,
         # and the interconnect moves monotone streams.
-        def bucket_slices(skeys):
-            cuts = (np.arange(1, n_coarse, dtype=np.uint64)
-                    << np.uint64(32 - coarse_bits)).astype(np.uint32)
-            bounds = [0, *np.searchsorted(skeys, cuts).tolist(),
+        # Cut by VALUE QUANTILES of sorted R, not top radix bits: dense
+        # workloads (e.g. unique keys over [0, n) — the BASELINE shape)
+        # leave the top bits constant, collapsing bit buckets into one
+        # HBM-busting pair (round-3 diagnostic: pairs=1 at 64M).  Equal
+        # searchsorted(side="left") on both sides keeps duplicate runs
+        # intact and boundaries consistent, so the pairing stays exact
+        # for any distribution.
+        def bucket_slices(skeys, cuts):
+            bounds = [0, *np.searchsorted(skeys, cuts,
+                                          side="left").tolist(),
                       skeys.shape[0]]
             return [skeys[bounds[p]:bounds[p + 1]] for p in range(n_coarse)]
+
+        def quantile_cuts(sorted_r):
+            n = sorted_r.shape[0]
+            if n == 0:
+                return np.zeros(n_coarse - 1, np.uint32)
+            ix = (np.arange(1, n_coarse, dtype=np.int64) * n) // n_coarse
+            return sorted_r[ix]
 
         if mode == "diagonal":
             # Sort/transfer overlap (the reference's tiled-cursor overlap,
@@ -124,7 +137,9 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
             # interconnect — the transfer is network-bound, so the two
             # costs genuinely stack.
             import threading
-            rk_b = bucket_slices(native.radix_sort_keys(r_keys))
+            r_sorted = native.radix_sort_keys(r_keys)
+            cuts = quantile_cuts(r_sorted)
+            rk_b = bucket_slices(r_sorted, cuts)
             box: dict = {}
             th = threading.Thread(
                 target=lambda: box.__setitem__(
@@ -132,17 +147,21 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
             th.start()
             max_rb = max(1024, max((b.shape[0] for b in rk_b), default=0))
             pad_r = ((max_rb + 1023) // 1024) * 1024
-            r_staged = {p: tuple(map(jnp.asarray,
-                                     _delta_encode(rk_b[p], pad_r,
-                                                   0xFFFFFFFF)))
+            r_staged = {p: _stage(_delta_encode(rk_b[p], pad_r,
+                                                0xFFFFFFFF))
                         for p in range(n_coarse) if rk_b[p].shape[0]}
             th.join()
-            sk_b = bucket_slices(box["s"])
+            sk_b = bucket_slices(box["s"], cuts)
             return _pass2_presorted(rk_b, sk_b, cfg, skew_aware,
                                     r_staged=r_staged, pad_r=pad_r)
-        rk_b = bucket_slices(native.radix_sort_keys(r_keys))
-        sk_b = bucket_slices(native.radix_sort_keys(s_keys))
-        return _pass2(rk_b, sk_b, cfg, coarse_bits, skew_aware, mode)
+        r_sorted = native.radix_sort_keys(r_keys)
+        cuts = quantile_cuts(r_sorted)
+        rk_b = bucket_slices(r_sorted, cuts)
+        sk_b = bucket_slices(native.radix_sort_keys(s_keys), cuts)
+        # shift=0: quantile buckets share no fixed top bits (unlike the
+        # device radix spill), so downstream hashing must use all bits.
+        return _pass2(rk_b, sk_b, cfg, coarse_bits, skew_aware, mode,
+                      shift=0)
 
     part_fn = _partition_chunk_keys_fn(chunk, coarse_bits)
 
@@ -194,52 +213,76 @@ def _diag_presorted(kr, ks, k_drift, rows_per_group):
 def _delta_encode(keys: np.ndarray, pad_to: int, sentinel: int):
     """Delta-compress a host-SORTED uint32 bucket for the wire.
 
-    A sorted stream's first differences are tiny (mean gap = domain/n), so
-    the interconnect moves a uint8 delta stream — 4x less traffic than raw
-    keys, the OOC path's entire bottleneck (the reference compresses its
-    network tuples the same way for the same reason, CompressedTuple /
-    NetworkPartitioning.cpp:128-129) — plus a sparse exception list for
-    gaps >= 255 (escape marker 255, extra = gap - 255 scattered on
-    device).  The padded tail is part of the stream: one escape jumps to
-    ``sentinel`` and zero-deltas hold it, so the decoded array is exactly
-    the sentinel-padded sorted bucket the diagonal probe expects.
+    A sorted stream's first differences are tiny (mean gap = domain/n),
+    so the interconnect moves a uint8 (4x) or uint16 (2x) delta stream
+    instead of raw keys — the OOC path's entire bottleneck (the
+    reference compresses its network tuples for the same reason,
+    CompressedTuple / NetworkPartitioning.cpp:128-129).
 
-    Returns (deltas_u8[pad_to], pos_i32[n_exc], extra_u32[n_exc]).
+    Returns ("delta", stream[pad_to] u8|u16, first_key u32, n_valid i32,
+    sentinel u32) or ("raw", keys_padded[pad_to] u32) when the bucket is
+    too sparse for 16-bit gaps.
     """
     n = keys.shape[0]
-    d = np.empty(pad_to, np.uint32)
-    d[0] = keys[0] if n else np.uint32(sentinel)
+    if n == 0:
+        return ("raw", np.full(pad_to, np.uint32(sentinel)))
+    d = np.zeros(pad_to, np.uint32)
     np.subtract(keys[1:], keys[:-1], out=d[1:n])
-    if n and pad_to > n:
-        d[n] = np.uint32(sentinel) - keys[n - 1]
-        d[n + 1:] = 0
-    esc = d >= 255
-    pos = np.flatnonzero(esc).astype(np.int32)
-    extra = d[pos] - 255
-    du8 = np.where(esc, np.uint32(255), d).astype(np.uint8)
-    # Pad exceptions to a power-of-2 size so every bucket shares one
-    # compiled decode (a fresh remote compile per bucket would dwarf the
-    # transfer savings); padded entries scatter-add 0 at position 0.
-    cap = 1
-    while cap < pos.shape[0]:
-        cap <<= 1
-    pos = np.pad(pos, (0, cap - pos.shape[0]))
-    extra = np.pad(extra, (0, cap - extra.shape[0]))
-    return du8, pos, extra
+    mx = int(d[1:n].max()) if n > 1 else 0
+    # Width chosen by the bucket's max gap; the first key rides as a
+    # uint32 SCALAR and the padded tail is masked to the sentinel by
+    # valid-count on device, so there is NO exception machinery at all.
+    # (Round-3 lessons, each measured on chip: per-bucket exception
+    # shapes triggered 30-40 s remote compiles each; a scatter-add
+    # decode serialised ~minutes/bucket; the searchsorted rewrite still
+    # cost ~14 s per 64M bucket in its 23 gather passes.  A pure
+    # cumsum+mask decode is the only shape the TPU runs at speed.)
+    if mx < 256:
+        stream = d.astype(np.uint8)
+    elif mx < 65536:
+        stream = d.astype(np.uint16)
+    else:
+        # Mean gap >= ~64K: delta coding saves <2x; ship raw keys.
+        raw = np.full(pad_to, np.uint32(sentinel))
+        raw[:n] = keys
+        return ("raw", raw)
+    return ("delta", stream, np.uint32(keys[0]), np.int32(n),
+            np.uint32(sentinel))
+
+
+def _stage(enc):
+    """Move an encoded bucket's stream to the device, keeping the tag
+    (scalars stay host-side: they are dynamic jit args, not shapes)."""
+    if enc[0] == "raw":
+        return ("raw", jnp.asarray(enc[1]))
+    return ("delta", jnp.asarray(enc[1]), *enc[2:])
+
+
+def _decode_staged(st):
+    """Staged encoded bucket -> biased sorted device keys."""
+    if st[0] == "raw":
+        return _bias_raw(st[1])
+    return _delta_decode(*st[1:])
+
+
+_bias_raw = jax.jit(bias_keys)
 
 
 @jax.jit
-def _delta_decode(du8: jnp.ndarray, pos: jnp.ndarray, extra: jnp.ndarray):
+def _delta_decode(stream: jnp.ndarray, first: jnp.ndarray,
+                  n_valid: jnp.ndarray, sentinel: jnp.ndarray):
     # NOT donated: pre-staged streams (sort/transfer overlap) are decoded
     # again on the escalation path; donation would consume them.
-    """uint8 deltas + exceptions -> biased-int32 sorted keys (on device).
+    """uint8/uint16 deltas -> biased-int32 sorted keys (on device).
 
-    Exact: every true prefix sum is a key value < 2^32, so uint32
-    accumulation never wraps.  The scatter-add touches only exception
-    positions (near zero for dense buckets)."""
-    d = du8.astype(jnp.uint32)
-    d = d.at[pos].add(extra)
-    return bias_keys(jnp.cumsum(d, dtype=jnp.uint32))
+    key[j] = first + cumsum(stream)[j] for j < n_valid, else sentinel.
+    One cumsum + one mask — no gather, no scatter (see _delta_encode for
+    why).  Exact: deltas sum to key[j] - key[0] < 2^32, so uint32
+    accumulation never wraps.  Two compiled variants per size class
+    (uint8 / uint16 stream)."""
+    cum = first + jnp.cumsum(stream.astype(jnp.uint32), dtype=jnp.uint32)
+    j = jnp.arange(stream.shape[0], dtype=jnp.int32)
+    return bias_keys(jnp.where(j < n_valid, cum, sentinel))
 
 
 @functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group"))
@@ -274,19 +317,20 @@ def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
         # Sentinel padding keeps the staged array sorted (keys <
         # 2^32 - 16) and maps onto the probe's side-distinct convention.
         if r_staged is not None and p in r_staged:
-            kr_dev = _delta_decode(*r_staged[p])
+            kr_dev = _decode_staged(r_staged[p])
         else:
-            kr_dev = _delta_decode(*map(jnp.asarray,
-                                        _delta_encode(rk_b[p], pad_r,
-                                                      0xFFFFFFFF)))
-        ks_dev = _delta_decode(*map(jnp.asarray,
-                                    _delta_encode(sk_b[p], pad_s,
-                                                  0xFFFFFFFE)))
+            kr_dev = _decode_staged(_stage(_delta_encode(rk_b[p], pad_r,
+                                                         0xFFFFFFFF)))
+        ks_dev = _decode_staged(_stage(_delta_encode(sk_b[p], pad_s,
+                                                     0xFFFFFFFE)))
         return kr_dev, ks_dev
 
     # One-deep pipeline: dispatch pair p's decode+probe, then pull pair
     # p-1's count — bucket p's host encode + H2D overlaps bucket p-1's
     # device probe, while at most two pairs are resident (~4 x bucket).
+    import sys
+    import time as _time
+    t_disp = _time.perf_counter()
     results = []                              # (p, nr, ns, m, ok)
     prev = None
     live = [q for q in range(n_coarse)
@@ -300,9 +344,15 @@ def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
             q, m0, ok0 = prev
             results.append((q, int(m0), bool(ok0)))
         prev = (p, m, ok)
+    t_drain = _time.perf_counter()
     if prev is not None:
         q, m0, ok0 = prev
         results.append((q, int(m0), bool(ok0)))
+    n_esc = sum(1 for _, _, ok in results if not ok)
+    print(f"[ooc] pairs={len(live)} dispatch+overlap="
+          f"{t_drain - t_disp:.1f}s last_drain="
+          f"{_time.perf_counter() - t_drain:.1f}s escalations={n_esc}",
+          file=sys.stderr, flush=True)
 
     total = 0
     zr = zs = None
@@ -329,7 +379,8 @@ def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
     return total
 
 
-def _pass2(rk_b, sk_b, cfg, coarse_bits, skew_aware, mode) -> int:
+def _pass2(rk_b, sk_b, cfg, coarse_bits, skew_aware, mode,
+           shift: int | None = None) -> int:
     """Join coarse bucket pairs on device with static padded shapes (one
     compile for the largest bucket size class).  Rids are device-side
     zeros — a count join never reads them."""
@@ -352,6 +403,7 @@ def _pass2(rk_b, sk_b, cfg, coarse_bits, skew_aware, mode) -> int:
         total += join_count_checked(
             Relation(jnp.asarray(kr), zr),
             Relation(jnp.asarray(ks), zs),
-            cfg, shift=coarse_bits, skew_aware=skew_aware, mode=mode,
+            cfg, shift=coarse_bits if shift is None else shift,
+            skew_aware=skew_aware, mode=mode,
             r_valid_count=jnp.int32(nr), s_valid_count=jnp.int32(ns))
     return total

@@ -335,6 +335,39 @@ def test_outofcore_host_presorted_diagonal():
     assert got == want
 
 
+def test_ooc_delta_codec_roundtrip():
+    # Gap-width-adaptive codec: consecutive keys -> uint8 stream, mid
+    # gaps -> uint16, sparse (gap >= 2^16) -> raw fallback.  Every
+    # variant decodes to the exact biased sentinel-padded array, with a
+    # stream shape that depends only on pad_to (so at most three
+    # compiled decodes per size class — the round-3 fix; data-dependent
+    # shapes cost a 30-40 s remote compile per bucket).
+    from radixjoin_tpu.engine.outofcore import (
+        _delta_encode, _decode_staged, _stage)
+    from radixjoin_tpu.ops.buildprobe import bias_keys
+
+    pad = 2048
+    u8 = (np.arange(1500, dtype=np.uint32) + 77)       # gaps of 1
+    u16 = np.sort(np.random.default_rng(3).choice(
+        5_000_000, 1500, replace=False)).astype(np.uint32)
+    sparse = np.sort(np.random.default_rng(4).choice(
+        2**32 - 32, 1500, replace=False).astype(np.uint32))
+    want_kind = {0: ("delta", np.uint8), 1: ("delta", np.uint16),
+                 2: ("raw", None), 3: ("delta", np.uint8)}
+    for i, keys in enumerate((u8, u16, sparse, u16[:1])):
+        enc = _delta_encode(keys, pad, 0xFFFFFFFF)
+        tag, dt = want_kind[i]
+        assert enc[0] == tag, (i, enc[0])
+        if dt is not None:
+            assert enc[1].dtype == dt, (i, enc[1].dtype)
+        assert enc[1].shape == (pad,)
+        got = np.asarray(_decode_staged(_stage(enc)))
+        want = np.full(pad, 0xFFFFFFFF, np.uint32)
+        want[: keys.shape[0]] = keys
+        np.testing.assert_array_equal(
+            got, np.asarray(bias_keys(jnp.asarray(want))))
+
+
 def test_pipeline_filter_join_aggregate():
     n = 1 << 12
     r = gen.fill_unique(n, jax.random.key(16))
