@@ -34,8 +34,11 @@ from ..ops.buildprobe import (probe_count_tiered, probe_count_banded,
                               probe_count_diagonal, _merged_partials,
                               bias_keys, join_materialize)
 from ..ops.partition import partition_relation
+from ..ops.wide import (Relation64, _merged_partials64,
+                        probe_count_diagonal64)
 from ..parallel.metadata import compute_metadata
-from ..parallel.shuffle import shuffle_by_destination, shuffle_chunked
+from ..parallel.shuffle import (shuffle_by_destination, shuffle_chunked,
+                                shuffle_multi)
 
 
 class DistributedJoinResult(NamedTuple):
@@ -207,13 +210,21 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
             shuf_s = shuffle_by_destination(sk, sr, dest_s, cap_s, axis,
                                             drop_s)
 
-        # all-tuples-written invariant (data/Window.cpp:180-191): every
-        # tuple this shard received is valid-marked; counts must reconcile.
+        # all-tuples-written invariant (data/Window.cpp:180-191, invoked
+        # PER RELATION by NetworkPartitioning.cpp:220): every tuple this
+        # shard received is valid-marked; counts must reconcile against
+        # the owned-partition slice of the global histogram — for R AND
+        # for S (an S-side put lost in the shuffle must trip ok exactly
+        # like an R-side one).
+        my_dev = jax.lax.axis_index(axis)
         recv_r = jnp.sum(shuf_r.valid.astype(jnp.int32))
         expected_r = jnp.sum(
-            jnp.where(meta_r.assignment == jax.lax.axis_index(axis),
-                      meta_r.global_hist, 0))
-        ok = (recv_r == expected_r) & ~shuf_r.overflow & ~shuf_s.overflow
+            jnp.where(meta_r.assignment == my_dev, meta_r.global_hist, 0))
+        recv_s = jnp.sum(shuf_s.valid.astype(jnp.int32))
+        expected_s = jnp.sum(
+            jnp.where(meta_s.assignment == my_dev, meta_s.global_hist, 0))
+        ok = ((recv_r == expected_r) & (recv_s == expected_s)
+              & ~shuf_r.overflow & ~shuf_s.overflow)
 
         # ---- phase 4: local processing (second radix pass + probe) ----
         # Local radix bits sit ABOVE the network bits (reference
@@ -327,6 +338,165 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         if materialize_max_out is not None:
             return DistributedJoinRows(*out)
         return DistributedJoinResult(*out)
+
+    return run
+
+
+class DistributedJoin64Result(NamedTuple):
+    """64-bit-key distributed join output (reference keys are uint64
+    end-to-end, data/Tuple.h:15-22; the 32-bit path covers 4G domains)."""
+    partial_matches: jnp.ndarray  # int32[D]
+    ok: jnp.ndarray               # bool[D]
+    global_hist_r: jnp.ndarray    # int32[P_net]
+    global_hist_s: jnp.ndarray
+    # mergecount64 rung's 15/15-bit block partials (zeros otherwise) —
+    # same >2^31-safe recombination as the 32-bit terminal rung.
+    merged_lo: jnp.ndarray        # int32[D, NB]
+    merged_hi: jnp.ndarray        # int32[D, NB]
+
+
+def total_distributed_matches64(res: DistributedJoin64Result) -> int:
+    merged = (np.sum(_fetch(res.merged_lo).astype(np.int64))
+              + (np.sum(_fetch(res.merged_hi).astype(np.int64)) << 15))
+    return int(np.sum(_fetch(res.partial_matches).astype(np.int64))
+               + merged)
+
+
+def make_distributed_join64(mesh: Mesh, n_r_shard: int, n_s_shard: int,
+                            cfg: JoinConfig = DEFAULT_CONFIG,
+                            local_probe: str = "diagonal64",
+                            k_drift: int | None = None,
+                            full_capacity: bool = False):
+    """4-phase distributed join over 64-bit (hi, lo)-plane keys — the
+    wide-key mirror of :func:`make_distributed_join` (reference tuples
+    carry uint64 keys, data/Tuple.h:15-22; its CompressedTuple wire format
+    packs them to one 8 B word, NetworkPartitioning.cpp:128-129 — here the
+    planes cross the ICI as separate all_to_all operands).
+
+    Phase 1 hashes the LOW bits of the 64-bit key (lo-plane bits, the
+    reference's ``key & 31`` HASH_BIT_MODULO, LocalHistogram.cpp:44-47);
+    hashing hi bits would collapse every sub-4G key set onto one device.
+
+    ``local_probe``: "diagonal64" (two-plane rank-diagonal kernel; its
+    drift/coverage check can trip -> ok False) or "mergecount64" (terminal:
+    concat-sort count with overflow-free 15/15-bit partials — exact under
+    arbitrary skew/dup structure).  Returns fn(r64, s64) over
+    plane-sharded :class:`~radixjoin_tpu.ops.wide.Relation64` inputs.
+    """
+    axis = cfg.mesh_axis
+    n_dev = mesh.devices.size
+    net_bits = cfg.network_fanout_bits
+    p_net = 1 << net_bits
+    assert p_net >= n_dev
+    if full_capacity:
+        from ..config import next_multiple
+        cap_r = next_multiple(n_r_shard, 128)
+        cap_s = next_multiple(n_s_shard, 128)
+    else:
+        cap_r = cfg.shuffle_capacity(n_r_shard, n_dev)
+        cap_s = cfg.shuffle_capacity(n_s_shard, n_dev)
+    k = k_drift if k_drift is not None else cfg.diagonal_k
+
+    def shard_fn(rh, rl, rr, sh, sl, sr):
+        # ---- phase 1: histograms on the 64-bit key's low bits ----
+        pid_r = radix_bits(rl, net_bits)
+        pid_s = radix_bits(sl, net_bits)
+        meta_r = compute_metadata(pid_r, p_net, axis)
+        meta_s = compute_metadata(pid_s, p_net, axis)
+
+        # ---- phase 3: (hi, lo, rid) planes over the ICI ----
+        shuf_r = shuffle_multi((rh, rl, rr), meta_r.assignment[pid_r],
+                               cap_r, axis)
+        shuf_s = shuffle_multi((sh, sl, sr), meta_s.assignment[pid_s],
+                               cap_s, axis)
+
+        # all-written invariant, per relation (data/Window.cpp:180-191)
+        my_dev = jax.lax.axis_index(axis)
+        ok = ((jnp.sum(shuf_r.valid.astype(jnp.int32))
+               == jnp.sum(jnp.where(meta_r.assignment == my_dev,
+                                    meta_r.global_hist, 0)))
+              & (jnp.sum(shuf_s.valid.astype(jnp.int32))
+                 == jnp.sum(jnp.where(meta_s.assignment == my_dev,
+                                      meta_s.global_hist, 0)))
+              & ~shuf_r.overflow & ~shuf_s.overflow)
+
+        # ---- phase 4: local 64-bit probe ----
+        # Invalid slots -> side-distinct out-of-domain sentinels (64-bit
+        # key domain is [0, 2^64 - 16)): R pad (FFFFFFFF, FFFFFFFF),
+        # S pad (FFFFFFFF, FFFFFFFE) — they sort to the tail and can
+        # never cross-match.
+        rhv, rlv, _ = shuf_r.operands
+        shv, slv, _ = shuf_s.operands
+        if local_probe == "mergecount64":
+            rh_m = jnp.where(shuf_r.valid, rhv, jnp.uint32(0xFFFFFFFF))
+            rl_m = jnp.where(shuf_r.valid, rlv, jnp.uint32(0xFFFFFFFF))
+            sh_m = jnp.where(shuf_s.valid, shv, jnp.uint32(0xFFFFFFFF))
+            sl_m = jnp.where(shuf_s.valid, slv, jnp.uint32(0xFFFFFFFE))
+            lo, hi = _merged_partials64(rh_m, rl_m, sh_m, sl_m)
+            return (jnp.zeros((1,), jnp.int32), ok[None],
+                    meta_r.global_hist, meta_s.global_hist,
+                    lo[None], hi[None])
+        assert local_probe == "diagonal64", local_probe
+        from ..utils.backend import pallas_interpret
+        rbh, rbl = jax.lax.sort(
+            (bias_keys(rhv, ~shuf_r.valid, 0xFFFFFFFF),
+             bias_keys(rlv, ~shuf_r.valid, 0xFFFFFFFF)),
+            num_keys=2, is_stable=False)
+        sbh, sbl = jax.lax.sort(
+            (bias_keys(shv, ~shuf_s.valid, 0xFFFFFFFF),
+             bias_keys(slv, ~shuf_s.valid, 0xFFFFFFFE)),
+            num_keys=2, is_stable=False)
+        matches, okp = probe_count_diagonal64(
+            rbh, rbl, sbh, sbl, k_drift=k,
+            rows_per_group=8 if pallas_interpret() else
+            cfg.diagonal_rows_per_group)
+        return (matches[None].astype(jnp.int32), (ok & okp)[None],
+                meta_r.global_hist, meta_s.global_hist,
+                jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32))
+
+    sharded = NamedSharding(mesh, P(axis))
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(r: Relation64, s: Relation64):
+        args = [jax.lax.with_sharding_constraint(a, sharded)
+                for a in (r.key_hi, r.key_lo, r.rids,
+                          s.key_hi, s.key_lo, s.rids)]
+        return DistributedJoin64Result(*mapped(*args))
+
+    return run
+
+
+def make_distributed_join64_checked(mesh: Mesh, n_r_shard: int,
+                                    n_s_shard: int,
+                                    cfg: JoinConfig = DEFAULT_CONFIG,
+                                    **kw):
+    """64-bit mirror of :func:`make_distributed_join_checked`: diagonal64
+    fast path; any shard's ok=False (shuffle overflow, diagonal drift /
+    degenerate-hi coverage trip) reruns through the terminal rung —
+    full-capacity shuffle + mergecount64 partials — which cannot overflow
+    by construction.  Returns fn(r64, s64) -> (matches: int, escalated)."""
+    fast = make_distributed_join64(mesh, n_r_shard, n_s_shard, cfg, **kw)
+    terminal = None
+
+    def run(r: Relation64, s: Relation64):
+        nonlocal terminal
+        res = fast(r, s)
+        if bool(np.all(np.asarray(res.ok))):
+            return total_distributed_matches64(res), False
+        if terminal is None:
+            terminal = make_distributed_join64(
+                mesh, n_r_shard, n_s_shard, cfg,
+                local_probe="mergecount64", full_capacity=True)
+        res = terminal(r, s)
+        assert bool(np.all(np.asarray(res.ok))), (
+            "all-written invariant failed in the terminal rung")
+        return total_distributed_matches64(res), True
 
     return run
 

@@ -53,12 +53,44 @@ from ..config import JoinConfig, DEFAULT_CONFIG
 from ..data.tuples import Relation
 from ..ops.buildprobe import bias_keys, probe_count_diagonal
 from ..ops.partition import partition_keys_rotated
+from ..utils.debug import join_debug
 from .join import join_count_checked
 
 
 def _chunks(n: int, chunk: int) -> Iterator[tuple[int, int]]:
     for lo in range(0, n, chunk):
         yield lo, min(chunk, n - lo)
+
+
+def _combined_cuts(sorted_r: np.ndarray, s_unsorted: np.ndarray,
+                   n_coarse: int) -> np.ndarray:
+    """Bucket cut values = quantiles of the MERGED key distribution, so
+    BOTH sides' buckets are bounded by ~(|R|+|S|)/n_coarse: R-only cuts
+    would let an S unlike R (e.g. disjoint-range S) land entirely in one
+    bucket, making pad_s = |S| — the very single-pair HBM blowup quantile
+    cutting exists to avoid.  S is sampled (its sort may not have happened
+    yet — the diagonal path overlaps it with R's transfer), which is fine:
+    cuts only balance, correctness never depends on them, and a 2^16
+    sample pins quantiles to ~0.5% error."""
+    m = 1 << 16
+    nr_, ns_ = sorted_r.shape[0], s_unsorted.shape[0]
+    if nr_ == 0 and ns_ == 0:
+        return np.zeros(n_coarse - 1, np.uint32)
+    parts = []
+    if nr_:
+        ix = (np.arange(min(m, nr_), dtype=np.int64) * nr_) \
+            // min(m, nr_)
+        parts.append(sorted_r[ix])
+    if ns_:
+        if ns_ <= m:
+            parts.append(np.sort(s_unsorted))
+        else:
+            rng = np.random.default_rng(0xC0FFEE)
+            parts.append(np.sort(s_unsorted[rng.integers(0, ns_, m)]))
+    merged = np.sort(np.concatenate(parts))
+    ix = (np.arange(1, n_coarse, dtype=np.int64)
+          * merged.shape[0]) // n_coarse
+    return merged[ix]
 
 
 def _partition_chunk_keys_fn(chunk: int, coarse_bits: int):
@@ -109,10 +141,10 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
         # twice downstream: pass 2 skips BOTH device partition sorts (the
         # in-HBM engine's dominant cost) via the presorted diagonal probe,
         # and the interconnect moves monotone streams.
-        # Cut by VALUE QUANTILES of sorted R, not top radix bits: dense
-        # workloads (e.g. unique keys over [0, n) — the BASELINE shape)
-        # leave the top bits constant, collapsing bit buckets into one
-        # HBM-busting pair (round-3 diagnostic: pairs=1 at 64M).  Equal
+        # Cut by VALUE QUANTILES, not top radix bits: dense workloads
+        # (e.g. unique keys over [0, n) — the BASELINE shape) leave the
+        # top bits constant, collapsing bit buckets into one HBM-busting
+        # pair (round-3 diagnostic: pairs=1 at 64M).  Equal
         # searchsorted(side="left") on both sides keeps duplicate runs
         # intact and boundaries consistent, so the pairing stays exact
         # for any distribution.
@@ -122,12 +154,8 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
                       skeys.shape[0]]
             return [skeys[bounds[p]:bounds[p + 1]] for p in range(n_coarse)]
 
-        def quantile_cuts(sorted_r):
-            n = sorted_r.shape[0]
-            if n == 0:
-                return np.zeros(n_coarse - 1, np.uint32)
-            ix = (np.arange(1, n_coarse, dtype=np.int64) * n) // n_coarse
-            return sorted_r[ix]
+        def combined_cuts(sorted_r, s_unsorted):
+            return _combined_cuts(sorted_r, s_unsorted, n_coarse)
 
         if mode == "diagonal":
             # Sort/transfer overlap (the reference's tiled-cursor overlap,
@@ -138,7 +166,7 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
             # costs genuinely stack.
             import threading
             r_sorted = native.radix_sort_keys(r_keys)
-            cuts = quantile_cuts(r_sorted)
+            cuts = combined_cuts(r_sorted, s_keys)
             rk_b = bucket_slices(r_sorted, cuts)
             box: dict = {}
             th = threading.Thread(
@@ -155,7 +183,7 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
             return _pass2_presorted(rk_b, sk_b, cfg, skew_aware,
                                     r_staged=r_staged, pad_r=pad_r)
         r_sorted = native.radix_sort_keys(r_keys)
-        cuts = quantile_cuts(r_sorted)
+        cuts = combined_cuts(r_sorted, s_keys)
         rk_b = bucket_slices(r_sorted, cuts)
         sk_b = bucket_slices(native.radix_sort_keys(s_keys), cuts)
         # shift=0: quantile buckets share no fixed top bits (unlike the
@@ -242,7 +270,16 @@ def _delta_encode(keys: np.ndarray, pad_to: int, sentinel: int):
     elif mx < 65536:
         stream = d.astype(np.uint16)
     else:
-        # Mean gap >= ~64K: delta coding saves <2x; ship raw keys.
+        # MAX gap >= 2^16 (deliberately max, not mean): one oversized
+        # gap forfeits the whole bucket's compression, but every exact
+        # repair mechanism was measured out on this TPU (round-3 notes
+        # above: per-bucket exception shapes recompile 30-40 s each,
+        # scatter-add patching serialises, searchsorted costs seconds)
+        # — and splitting the stream at rare oversized gaps makes the
+        # segment count/shapes data-dependent, which is the same
+        # recompile trap.  Raw costs 2-4x wire on near-dense data with
+        # one hole; accepted until a static-shape patch mechanism
+        # exists.
         raw = np.full(pad_to, np.uint32(sentinel))
         raw[:n] = keys
         return ("raw", raw)
@@ -328,7 +365,6 @@ def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
     # One-deep pipeline: dispatch pair p's decode+probe, then pull pair
     # p-1's count — bucket p's host encode + H2D overlaps bucket p-1's
     # device probe, while at most two pairs are resident (~4 x bucket).
-    import sys
     import time as _time
     t_disp = _time.perf_counter()
     results = []                              # (p, nr, ns, m, ok)
@@ -349,10 +385,9 @@ def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
         q, m0, ok0 = prev
         results.append((q, int(m0), bool(ok0)))
     n_esc = sum(1 for _, _, ok in results if not ok)
-    print(f"[ooc] pairs={len(live)} dispatch+overlap="
-          f"{t_drain - t_disp:.1f}s last_drain="
-          f"{_time.perf_counter() - t_drain:.1f}s escalations={n_esc}",
-          file=sys.stderr, flush=True)
+    join_debug("OOC", "pairs=%d dispatch+overlap=%.1fs last_drain=%.1fs "
+               "escalations=%d", len(live), t_drain - t_disp,
+               _time.perf_counter() - t_drain, n_esc)
 
     total = 0
     zr = zs = None

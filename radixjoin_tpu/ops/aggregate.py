@@ -22,7 +22,11 @@ def aggregate_sum(keys: jnp.ndarray, values: jnp.ndarray, max_groups: int):
     """Group-by-key sum.  Returns (group_keys, group_sums, valid, n_groups).
 
     ``values`` may be any integer/float dtype; sums are in float32 for
-    float inputs, int32 for integer inputs (callers chunk to stay exact).
+    float inputs, int32 for integer inputs.  A single group whose true sum
+    exceeds 2^31 wraps (int) or loses precision (float32) — callers must
+    either chunk values to stay inside int32, or use
+    :func:`aggregate_sum_exact`, the 64-bit-exact plane-decomposed variant
+    with an explicit ok flag.
     """
     sk, sv = jax.lax.sort((keys, values), num_keys=1)
     n = sk.shape[0]
@@ -54,6 +58,64 @@ def aggregate_count(keys: jnp.ndarray, max_groups: int):
     """Group-by-key count (values = 1)."""
     ones = jnp.ones_like(keys, dtype=jnp.int32)
     return aggregate_sum(keys, ones, max_groups)
+
+
+def aggregate_sum_exact(keys: jnp.ndarray, values: jnp.ndarray,
+                        max_groups: int):
+    """Group-by-key sum, exact past int32 — the overflow-safe sibling of
+    :func:`aggregate_sum` (the same guarantee the engine's count paths get
+    from 15/15-bit merged partials, ops/buildprobe._merged_partials).
+
+    ``values`` must be non-negative integers < 2^32 (uint32/int32).  Each
+    value is split into four 8-bit PLANES; per-plane per-group sums come
+    from the usual cumsum-difference, which is exact mod 2^32 uncondition-
+    ally, and exactly representable in int32 whenever the group has fewer
+    than 2^23 rows (count * 255 < 2^31).  The host combiner
+    :func:`combine_sum_planes` reassembles true 64-bit sums (up to ~2^55).
+
+    Returns (group_keys, plane_sums int32[4, max_groups], group_counts,
+    valid, n_groups, ok) — ``ok`` False iff some group has >= 2^23 rows,
+    in which case plane sums may have wrapped; split the input (by value
+    chunking or key range) and re-aggregate.
+    """
+    v = values.astype(jnp.uint32)
+    sk, sv = jax.lax.sort((keys, v), num_keys=1)
+    n = sk.shape[0]
+    prev = jnp.concatenate([sk[:1] ^ jnp.uint32(1), sk[:-1]]) \
+        if sk.dtype == jnp.uint32 else jnp.concatenate([sk[:1] - 1, sk[:-1]])
+    is_start = (sk != prev).at[0].set(True)
+    group_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_groups = group_id[-1] + 1
+
+    gslot = jnp.arange(max_groups, dtype=jnp.int32)
+    starts = jnp.searchsorted(group_id, gslot, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(group_id, gslot, side="right").astype(jnp.int32)
+    valid = gslot < n_groups
+    starts_c = jnp.clip(starts, 0, n - 1)
+    ends_c = jnp.clip(ends - 1, 0, n - 1)
+
+    def seg_sums(plane_vals):
+        csum = jnp.cumsum(plane_vals.astype(jnp.int32))
+        hi = csum[ends_c]
+        lo = jnp.where(starts_c > 0, csum[starts_c - 1], 0)
+        return jnp.where(valid, hi - lo, 0)
+
+    planes = jnp.stack([seg_sums((sv >> jnp.uint32(8 * p))
+                                 & jnp.uint32(0xFF))
+                        for p in range(4)])
+    counts = jnp.where(valid, ends - starts, 0)
+    ok = jnp.all(counts < jnp.int32(1 << 23))
+    gkeys = jnp.where(valid, sk[starts_c], 0)
+    return gkeys, planes, counts, valid, n_groups, ok
+
+
+def combine_sum_planes(planes) -> "np.ndarray":
+    """Host-side reassembly of :func:`aggregate_sum_exact` plane sums into
+    true int64 group sums (the 'result aggregation node' role, reference
+    Configuration.h:19)."""
+    import numpy as np
+    p = np.asarray(planes).astype(np.int64)
+    return p[0] + (p[1] << 8) + (p[2] << 16) + (p[3] << 24)
 
 
 def aggregate_sum_sorted(sorted_keys: jnp.ndarray, values: jnp.ndarray,

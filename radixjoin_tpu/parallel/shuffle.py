@@ -43,36 +43,60 @@ class ShuffledShard(NamedTuple):
     overflow: jnp.ndarray     # bool: some segment exceeded capacity
 
 
-def shuffle_by_destination(keys: jnp.ndarray, rids: jnp.ndarray,
-                           dest: jnp.ndarray, capacity: int, axis: str,
-                           drop_mask: jnp.ndarray | None = None
-                           ) -> ShuffledShard:
-    """Exchange tuples so device d ends up with all tuples whose
-    ``dest == d``.  ``dest``: int32[n] in [0, axis_size).
+class ShuffledShardMulti(NamedTuple):
+    """N-operand shuffle result: each operand as a [D * capacity] array.
+
+    The wide-tuple form of :class:`ShuffledShard` — e.g. 64-bit keys cross
+    as (hi, lo, rid) planes (reference keys are uint64, data/Tuple.h:15-22,
+    compressed to one 8 B word for the wire; here each plane is its own
+    all_to_all operand)."""
+    operands: tuple               # each uint32[D*C]
+    valid: jnp.ndarray            # bool[D*C]
+    sent_counts: jnp.ndarray      # int32[D]
+    overflow: jnp.ndarray         # bool
+
+
+def shuffle_multi(operands: tuple, dest: jnp.ndarray, capacity: int,
+                  axis: str, drop_mask: jnp.ndarray | None = None
+                  ) -> ShuffledShardMulti:
+    """Exchange N parallel per-tuple arrays so device d ends up with all
+    tuples whose ``dest == d``.  ``dest``: int32[n] in [0, axis_size).
 
     Rows with ``drop_mask`` True are not sent at all (they sort past the
-    last destination) — used by the skew path to keep heavy keys out of the
-    network phase entirely.
+    last destination) — used by the skew path to keep heavy keys out of
+    the network phase entirely.
     """
     n_dev = jax.lax.axis_size(axis)
     if drop_mask is not None:
         dest = jnp.where(drop_mask, n_dev, dest)
     # Group by destination (the reference's WC-buffer scatter,
     # NetworkPartitioning.cpp:116-173, as a sort).
-    sd, sk, sr = jax.lax.sort((dest, keys, rids), num_keys=1,
-                              is_stable=False)
+    sd, *sorted_ops = jax.lax.sort((dest, *operands), num_keys=1,
+                                   is_stable=False)
     counts, starts = histogram_sorted(sd, n_dev)
     overflow = jnp.any(counts > jnp.int32(capacity))
 
-    send_keys, valid = gather_padded(sk, starts, counts, capacity)  # [D, C]
-    send_rids, _ = gather_padded(sr, starts, counts, capacity)
+    send0, valid = gather_padded(sorted_ops[0], starts, counts,
+                                 capacity)                       # [D, C]
+    sends = [send0] + [gather_padded(so, starts, counts, capacity)[0]
+                       for so in sorted_ops[1:]]
 
     # The put storm (Window::write -> MPI_Put, data/Window.cpp:86-144):
-    recv_keys = jax.lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
-    recv_rids = jax.lax.all_to_all(send_rids, axis, 0, 0, tiled=False)
-    recv_valid = jax.lax.all_to_all(valid, axis, 0, 0, tiled=False)
-    return ShuffledShard(recv_keys.reshape(-1), recv_rids.reshape(-1),
-                         recv_valid.reshape(-1), counts, overflow)
+    recv = tuple(jax.lax.all_to_all(sb, axis, 0, 0, tiled=False)
+                 .reshape(-1) for sb in sends)
+    recv_valid = jax.lax.all_to_all(valid, axis, 0, 0,
+                                    tiled=False).reshape(-1)
+    return ShuffledShardMulti(recv, recv_valid, counts, overflow)
+
+
+def shuffle_by_destination(keys: jnp.ndarray, rids: jnp.ndarray,
+                           dest: jnp.ndarray, capacity: int, axis: str,
+                           drop_mask: jnp.ndarray | None = None
+                           ) -> ShuffledShard:
+    """Two-operand (key, rid) shuffle — see :func:`shuffle_multi`."""
+    m = shuffle_multi((keys, rids), dest, capacity, axis, drop_mask)
+    return ShuffledShard(m.operands[0], m.operands[1], m.valid,
+                         m.sent_counts, m.overflow)
 
 
 def shuffle_chunked(keys: jnp.ndarray, rids: jnp.ndarray, dest: jnp.ndarray,

@@ -335,6 +335,32 @@ def test_outofcore_host_presorted_diagonal():
     assert got == want
 
 
+def test_ooc_combined_cuts_bound_both_sides():
+    # ADVICE r3 (medium): R uniform over the full uint32 domain, S dense
+    # over [0, n).  R-only quantile cuts would put ALL of S in bucket 0
+    # (pad_s = |S| — the OOC HBM blowup); merged-distribution cuts must
+    # bound BOTH sides' largest bucket by ~(|R|+|S|)/n_coarse.
+    from radixjoin_tpu.engine.outofcore import _combined_cuts
+    n = 1 << 15
+    n_coarse = 8
+    rng = np.random.default_rng(17)
+    rk = np.sort(rng.integers(0, 1 << 32, n, dtype=np.int64)
+                 .astype(np.uint32))
+    sk = rng.permutation(n).astype(np.uint32)          # dense [0, n)
+    cuts = _combined_cuts(rk, sk, n_coarse)
+    bound = int(2.5 * (2 * n) / n_coarse)
+    for keys in (rk, np.sort(sk)):
+        bounds = [0, *np.searchsorted(keys, cuts, side="left").tolist(), n]
+        largest = max(bounds[p + 1] - bounds[p] for p in range(n_coarse))
+        assert largest <= bound, (largest, bound)
+    # and the e2e join over this shape stays exact
+    want = _np_join_count(rk, sk)
+    got = join_count_outofcore(
+        rk, np.arange(n, dtype=np.uint32), sk, np.arange(n, dtype=np.uint32),
+        CFG, coarse_bits=3, spill="host")
+    assert got == want
+
+
 def test_ooc_delta_codec_roundtrip():
     # Gap-width-adaptive codec: consecutive keys -> uint8 stream, mid
     # gaps -> uint16, sparse (gap >= 2^16) -> raw fallback.  Every

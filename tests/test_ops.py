@@ -535,6 +535,49 @@ def test_aggregate_sum():
     assert int(ng) == len(want)
 
 
+def test_aggregate_sum_exact_past_int32():
+    # A single group whose true sum exceeds 2^31 (VERDICT r3 weak #6):
+    # 70000 rows of value 40000 in one group = 2.8e9 > 2^31 — plain
+    # aggregate_sum's int32 cumsum difference would wrap silently; the
+    # plane-decomposed variant must return the exact 64-bit sum with
+    # ok=True (groups are far below the 2^23-row plane-exactness bound).
+    rng = np.random.default_rng(17)
+    n = 80000
+    keys = np.concatenate([np.full(70000, 3, np.uint32),
+                           rng.integers(10, 40, n - 70000,
+                                        dtype=np.uint32)])
+    vals = np.concatenate([np.full(70000, 40000, np.uint32),
+                           rng.integers(0, 1 << 20, n - 70000,
+                                        dtype=np.uint32)])
+    perm = rng.permutation(n)
+    keys, vals = keys[perm], vals[perm]
+    gk, planes, counts, valid, ng, ok = agg.aggregate_sum_exact(
+        jnp.asarray(keys), jnp.asarray(vals), 64)
+    assert bool(ok)
+    sums64 = agg.combine_sum_planes(planes)
+    got = {int(k): int(v) for k, v, va in
+           zip(np.asarray(gk), sums64, np.asarray(valid)) if va}
+    want = {}
+    for k, v in zip(keys, vals):
+        want[int(k)] = want.get(int(k), 0) + int(v)
+    assert got == want
+    assert got[3] == 70000 * 40000 > 2**31
+    assert int(ng) == len(want)
+    # counts reported per group
+    cm = {int(k): int(c) for k, c, va in
+          zip(np.asarray(gk), np.asarray(counts), np.asarray(valid)) if va}
+    assert cm[3] == 70000
+
+
+def test_aggregate_sum_exact_overflow_flag():
+    # ok must drop when a group crosses the 2^23-row plane-exactness
+    # bound (the guard is the point: no silent wrap).
+    keys = jnp.zeros((1 << 23) + 8, jnp.uint32)
+    vals = jnp.ones((1 << 23) + 8, jnp.uint32)
+    *_, ok = agg.aggregate_sum_exact(keys, vals, 4)
+    assert not bool(ok)
+
+
 def test_aggregate_sum_sorted_masked():
     rng = np.random.default_rng(16)
     keys = np.sort(rng.integers(0, 60, 4000).astype(np.uint32))
