@@ -1225,7 +1225,7 @@ def join_materialize_windowed(r_sorted: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _emit_kernel_mplane(w, b8, gr, M, unroll, wg_ref, wmeta_ref, rk_ref,
+def _emit_kernel_mplane(w, b8, gr, M, chunk, wg_ref, wmeta_ref, rk_ref,
                         s_ref, srid_ref, *rest):
     out_refs = rest[:M + 1]          # M rid planes + cnt
     scr_k, scr_r, sem_k, sem_r = rest[M + 1:]
@@ -1256,25 +1256,38 @@ def _emit_kernel_mplane(w, b8, gr, M, unroll, wg_ref, wmeta_ref, rk_ref,
         c.wait()
 
     meta = wmeta_ref[pl.ds(k, 1), :]                    # (1, 128)
-    for i in range(gr):                                 # static unroll
-        base = meta[0, 1 + i]                           # window row in band
-        swin_k = scr_k[slot, pl.ds(base, w), :]         # (w, 128)
-        swin_r = scr_r[slot, pl.ds(base, w), :]
-        rrow = rk_ref[i:i + 1, :]
+    for j in range(gr // _ROWS):                        # static unroll
+        # Sublane-blocked (cf. _probe_diag_kernel_blocked): per-row
+        # window rows are gathered into (8, 128) blocks — sublane i of
+        # block t holds window row (base_i + t) of R row j*8+i — so the
+        # 128-shift loop below runs every op on full native vregs
+        # instead of (1, 128) slices (which issue at 1/8th VPU width;
+        # the round-3 per-row form measured ~60x below the single-plane
+        # kernel).  Per-sublane independence holds because R row i only
+        # ever matches inside its OWN window rows.
+        r8 = rk_ref[pl.ds(j * _ROWS, _ROWS), :]         # (8, 128)
+        wins_k = []
+        wins_r = []
+        for t in range(w):
+            rows_k = []
+            rows_r = []
+            for i in range(_ROWS):
+                base = meta[0, 1 + j * _ROWS + i]       # window row in band
+                rows_k.append(scr_k[slot, pl.ds(base + t, 1), :])
+                rows_r.append(scr_r[slot, pl.ds(base + t, 1), :])
+            wins_k.append(jnp.concatenate(rows_k, axis=0))   # (8, 128)
+            wins_r.append(jnp.concatenate(rows_r, axis=0))
 
-        def shift_body(sh, carry, swin_k=swin_k, swin_r=swin_r, rrow=rrow):
-            run, planes = carry                         # run: count so far
-            rolled = pltpu.roll(rrow, sh, axis=1)
+        def one_shift(sh, run, planes, r8=r8, wins_k=wins_k, wins_r=wins_r):
+            rolled = pltpu.roll(r8, sh, axis=1)
             acc = pltpu.roll(run, sh, axis=1)           # j-space ordinal
             run_j = acc
-            picks = [jnp.zeros((1, 128), jnp.int32) for _ in range(M)]
+            picks = [jnp.zeros((_ROWS, 128), jnp.int32) for _ in range(M)]
             for t in range(w):
-                kt = swin_k[t:t + 1, :]
-                rt = swin_r[t:t + 1, :]
-                mt = (kt == rolled).astype(jnp.int32)
+                mt = (wins_k[t] == rolled).astype(jnp.int32)
                 for p in range(M):
                     sel = mt * (acc == p).astype(jnp.int32)
-                    picks[p] = picks[p] + sel * rt
+                    picks[p] = picks[p] + sel * wins_r[t]
                 acc = acc + mt
             back = jax.lax.rem(128 - sh, 128)           # j -> l lane map
             new_planes = tuple(
@@ -1282,19 +1295,29 @@ def _emit_kernel_mplane(w, b8, gr, M, unroll, wg_ref, wmeta_ref, rk_ref,
                 for p in range(M))
             return (run + pltpu.roll(acc - run_j, back, axis=1), new_planes)
 
-        # unroll=1 everywhere: Mosaic accepts only unroll 1 or full, the
-        # fully-unrolled M-carry body exceeds the 16 MB scoped-VMEM stack
-        # (see the clamp in join_materialize_windowed_multi), interpret
-        # tracing of the unrolled body is minutes-slow, and dynamic roll
-        # shifts are legal in [0, 128).
+        def chunk_body(c, carry, one_shift=one_shift):
+            # CHUNKED unroll: Mosaic's fori_loop accepts only unroll 1 or
+            # full; full unroll blows the 16 MB scoped-VMEM stack
+            # (measured 18.95 MB at gr=32/M=2) and unroll=1 leaves the
+            # loop overhead unamortised.  A Python-level inner loop over
+            # ``chunk`` shifts inside an outer fori_loop is the legal
+            # middle ground: only the (run, planes) carry lives across
+            # outer iterations.  Dynamic roll shifts are legal in
+            # [0, 128).
+            run, planes = carry
+            base_sh = c * chunk
+            for cc in range(chunk):
+                run, planes = one_shift(base_sh + cc, run, planes)
+            return (run, planes)
+
         run, planes = jax.lax.fori_loop(
-            0, 128, shift_body,
-            (jnp.zeros((1, 128), jnp.int32),
-             tuple(jnp.zeros((1, 128), jnp.int32) for _ in range(M))),
-            unroll=unroll)
+            0, 128 // chunk, chunk_body,
+            (jnp.zeros((_ROWS, 128), jnp.int32),
+             tuple(jnp.zeros((_ROWS, 128), jnp.int32) for _ in range(M))),
+            unroll=1)
         for p in range(M):
-            out_refs[p][i:i + 1, :] = planes[p]
-        out_refs[M][i:i + 1, :] = run
+            out_refs[p][pl.ds(j * _ROWS, _ROWS), :] = planes[p]
+        out_refs[M][pl.ds(j * _ROWS, _ROWS), :] = run
 
 
 @functools.partial(jax.jit, static_argnames=("max_matches", "window_rows",
@@ -1323,15 +1346,13 @@ def join_materialize_windowed_multi(r_sorted: jnp.ndarray,
         interpret = pallas_interpret()
     w = window_rows
     M = max_matches
-    # Scoped-VMEM clamp (measured on v5e): with the 128-shift loop fully
-    # unrolled, Mosaic's kernel stack for the M-carry body blows the
-    # 16 MB scoped limit (18.95 MB at gr=32/M=2, still 16.28 MB at
-    # gr=16/M=2 — a compile-time OOM, and a failed remote compile wedges
-    # the relay worker ~40 min, CLAUDE.md hazards).  So on hardware this
-    # kernel runs the shift loop UN-unrolled (dynamic roll shifts are
-    # legal in [0, 128); the per-shift body is heavy — w x M selects —
-    # so loop overhead amortises) and caps the group at 8 rows.
-    gr = min(rows_per_group, 8)
+    # Shift loop runs in 8-shift chunks (see chunk_body in the kernel):
+    # full unroll blows the 16 MB scoped-VMEM stack, unroll=1 (round 3)
+    # ran ~60x below the single-plane kernel.  gr follows the caller
+    # (32 default) — besides speed, big groups keep the SMEM wg prefetch
+    # array under its 1 MB cap at 2^28-row runs (gr=8 put it exactly at
+    # 1.00 M and the sf100 pipeline failed to compile).
+    gr = rows_per_group
     assert gr % _ROWS == 0 and gr <= 120 and 1 <= M <= 8
     n_r = r_sorted.shape[0]
     wg, wmeta, r2d, s2d, srid2d, n_groups8, b8, win_ok = _windowed_prep(
@@ -1361,7 +1382,7 @@ def join_materialize_windowed_multi(r_sorted: jnp.ndarray,
         ],
     )
     outs = pl.pallas_call(
-        functools.partial(_emit_kernel_mplane, w, b8, gr, M, 1),
+        functools.partial(_emit_kernel_mplane, w, b8, gr, M, 8),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_groups8 * gr, 128), jnp.int32)
                    for _ in range(M + 1)],

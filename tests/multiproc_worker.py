@@ -36,7 +36,15 @@ from radixjoin_tpu.engine.distributed import (  # noqa: E402
     make_distributed_join, total_distributed_matches)
 
 
+def _np_join_count(rk, sk):
+    r_u, r_c = np.unique(rk, return_counts=True)
+    s_u, s_c = np.unique(sk, return_counts=True)
+    _, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
+    return int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))
+
+
 def main():
+    variant = os.environ.get("RADIXJOIN_VARIANT", "plain")
     pid, nproc = multihost.process_info()
     devs = jax.devices()               # global, grouped by process
     n_local = len(jax.local_devices())
@@ -48,12 +56,15 @@ def main():
     rng = np.random.default_rng(0)     # same global data in every process
     rk = rng.integers(0, 3000, n, dtype=np.uint32)
     sk = rng.integers(0, 3000, n, dtype=np.uint32)
+    if variant == "skew":
+        # heavy-hitter S side: the skew pre-pass (phase 0) must detect
+        # key 321 across the process boundary (all_gather of per-shard
+        # candidates + psum of exact counts) and keep it out of the
+        # shuffle entirely.
+        sk[: n // 4] = 321
+        rng.shuffle(sk)
     rr = np.arange(n, dtype=np.uint32)
-
-    r_u, r_c = np.unique(rk, return_counts=True)
-    s_u, s_c = np.unique(sk, return_counts=True)
-    _, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
-    want = int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))
+    want = _np_join_count(rk, sk)
 
     sharding = NamedSharding(mesh, P("nodes"))
     rows_local = n // nproc
@@ -66,14 +77,32 @@ def main():
     s = Relation(garr(sk), garr(rr))
 
     cfg = JoinConfig(use_pallas=False, allocation_factor=2.0)
-    run = make_distributed_join(mesh, per, per, cfg)
-    res = run(r, s)
     from radixjoin_tpu.engine.distributed import _fetch
-    assert _fetch(res.ok).all(), "distributed ok flag tripped"
-    got = total_distributed_matches(res)
-    assert got == want, f"rank {pid}: {got} != {want}"
+    if variant == "materialize":
+        run = make_distributed_join(mesh, per, per, cfg,
+                                    materialize_max_out=4 * per)
+        rows = run(r, s)
+        assert _fetch(rows.ok).all(), "materialising ok flag tripped"
+        got = int(np.sum(_fetch(rows.counts).astype(np.int64)))
+        assert got == want, f"rank {pid}: {got} != {want}"
+        # row triples reference original global rids — check key equality
+        v = _fetch(rows.valid)
+        rrids = _fetch(rows.r_rids)[v]
+        srids = _fetch(rows.s_rids)[v]
+        assert rrids.shape[0] == want
+        np.testing.assert_array_equal(rk[rrids], sk[srids])
+    else:
+        run = make_distributed_join(mesh, per, per, cfg,
+                                    skew_aware=(variant == "skew"))
+        res = run(r, s)
+        assert _fetch(res.ok).all(), "distributed ok flag tripped"
+        if variant == "skew":
+            assert int(np.max(np.abs(_fetch(res.heavy_cs)))) > 0, \
+                "skew pre-pass detected no heavy key"
+        got = total_distributed_matches(res)
+        assert got == want, f"rank {pid}: {got} != {want}"
     print(f"RANK {pid} OK ({got} matches over {nproc} processes, "
-          f"{len(devs)} devices)", flush=True)
+          f"{len(devs)} devices, variant={variant})", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(nproc: int, timeout: float = 300.0):
+def _launch(nproc: int, variant: str = "plain", timeout: float = 420.0):
     port = _free_port()
     procs = []
     for pid in range(nproc):
@@ -36,6 +36,7 @@ def _launch(nproc: int, timeout: float = 300.0):
             "RADIXJOIN_COORDINATOR": f"127.0.0.1:{port}",
             "RADIXJOIN_NUM_PROCESSES": str(nproc),
             "RADIXJOIN_PROCESS_ID": str(pid),
+            "RADIXJOIN_VARIANT": variant,
             "WORKER_LOCAL_DEVICES": "2",
             "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))
             + os.pathsep + env.get("PYTHONPATH", ""),
@@ -55,9 +56,15 @@ def _launch(nproc: int, timeout: float = 300.0):
     return procs, outs
 
 
-@pytest.mark.parametrize("nproc", [2])
-def test_multiprocess_distributed_join(nproc):
-    procs, outs = _launch(nproc)
+# (2, plain): the baseline SPMD join across the process boundary.
+# (3, materialize): NON-power-of-two process count; the materialising
+#     variant's row triples cross processes (fetched via allgather).
+# (4, skew): the heavy-hitter pre-pass's candidate all_gather + exact
+#     psum counts cross 4 processes.
+@pytest.mark.parametrize("nproc,variant",
+                         [(2, "plain"), (3, "materialize"), (4, "skew")])
+def test_multiprocess_distributed_join(nproc, variant):
+    procs, outs = _launch(nproc, variant)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out}"
         assert f"RANK {pid} OK" in out, out
