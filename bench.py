@@ -74,6 +74,41 @@ def measure_sort_floor_ns(n: int = 1 << 28, reps: int = 3) -> float:
     return float(np.median(times)) / n * 1e9
 
 
+def bench_join_northstar_fused(n: int, reps: int, meas, k_drift: int,
+                               run_shift: int):
+    """North star via the FUSED ranged-runs path (round 4): the whole 1B
+    join is ONE XLA executable — a fori_loop over value-range-partitioned
+    run pairs, each iteration generating + sorting + diagonal-probing one
+    pair (engine/large.join_count_keys_ranged_fused).  Two measured facts
+    make this the fastest formulation (benchmarks/tpu_sort_scaling.py):
+    XLA's sort costs ~0.8 ns/elem effective at 2^20-2^22 operands inside
+    a fused step vs 1.85 ns/elem at 2^28 (comparison-sort pass count
+    grows with log n and small working sets stay cache-resident), and a
+    single executable pays ONE relay round-trip instead of one per pair.
+    Self-validating: matches == n; range + coverage checks on device."""
+    from radixjoin_tpu.engine.large import join_count_keys_ranged_fused
+    runs = n >> run_shift
+    r_mult, s_mult = 2654435761 | 1, 0x9E3779B1 ^ 0x40
+    # rep 0 = compile warmup, untimed
+    m, ok = join_count_keys_ranged_fused(n, runs, r_mult, s_mult,
+                                         k_drift=k_drift)
+    if not ok and k_drift < 32:
+        log(f"fused k_drift={k_drift} check tripped; escalating "
+            f"to {k_drift * 2}")
+        return bench_join_northstar_fused(n, reps, meas, k_drift * 2,
+                                          run_shift)
+    assert ok and m == n, f"oracle mismatch: {m} != {n} (ok={ok})"
+    total = 0.0
+    for _ in range(reps):
+        with meas.phase("JOIN_FUSED", tuples=2 * n):
+            t0 = time.perf_counter()
+            m, ok = join_count_keys_ranged_fused(n, runs, r_mult, s_mult,
+                                                 k_drift=k_drift)
+            total += time.perf_counter() - t0
+        assert ok and m == n, f"oracle mismatch: {m} != {n} (ok={ok})"
+    return total / reps
+
+
 def bench_join_northstar(n: int, reps: int, meas, k_drift: int,
                          blocked: bool | None = None):
     """BASELINE.json north star: 1B x 1B per-chip count join, in HBM.
@@ -179,19 +214,30 @@ def main():
     meas = Measurements()
     try:
         if backend == "tpu":
-            # North-star scale via the in-HBM keys-only runs path
-            # (engine/large.py); falls back to the 134M general-engine
-            # join below if the big run cannot complete.
+            # North-star scale via the FUSED ranged-runs path; falls back
+            # to the round-3 per-pair dispatch path, then to the 134M
+            # general-engine join, if anything fails to compile/run.
+            # 2^17-element runs sit at the measured knee (sweep in
+            # BENCH_NOTES round 4: 2^20 914 -> 2^17 980 -> 2^15 948 Mt/s).
+            run_shift = int(os.environ.get("BENCH_RUN_SHIFT", "17"))
             try:
-                dt = bench_join_northstar(n, reps, meas, k_drift)
+                dt = bench_join_northstar_fused(n, reps, meas, k_drift,
+                                                run_shift)
             except Exception as e:
-                # A blocked-kernel compile/run failure must not cost the
-                # north-star scale: retry once with the proven v2 kernel.
-                log(f"northstar (blocked probe) failed "
-                    f"({type(e).__name__}: {e}); retrying blocked=False")
+                log(f"northstar (fused) failed "
+                    f"({type(e).__name__}: {e}); retrying per-pair path")
                 meas.phases.clear()
-                dt = bench_join_northstar(n, reps, meas, k_drift,
-                                          blocked=False)
+                try:
+                    dt = bench_join_northstar(n, reps, meas, k_drift)
+                except Exception as e2:
+                    # A blocked-kernel failure must not cost the
+                    # north-star scale: retry with the proven v2 kernel.
+                    log(f"northstar (blocked probe) failed "
+                        f"({type(e2).__name__}: {e2}); "
+                        f"retrying blocked=False")
+                    meas.phases.clear()
+                    dt = bench_join_northstar(n, reps, meas, k_drift,
+                                              blocked=False)
         else:
             dt = bench_join(n)
     except Exception as e:  # OOM etc: scale down to the 134M engine path

@@ -147,6 +147,7 @@ def test_distributed_join_skew_aware(mesh8):
     assert total_distributed_matches(res) == want
 
 
+@pytest.mark.slow
 def test_distributed_join_banded_local_probe(mesh8):
     n_dev = 8
     per = 2048
@@ -193,6 +194,52 @@ def test_distributed_join_rows(mesh8):
     np.testing.assert_array_equal(rk[rr], sk[sr])
     # every R row appears exactly once (unique-keys workload)
     assert len(set(rr.tolist())) == n
+
+
+@pytest.mark.slow
+def test_distributed_join_scale_1m_per_shard(mesh8):
+    """Distributed join at 2^20 tuples/shard (8.4M/side over the mesh) —
+    VERDICT r3 item 3: the CPU-mesh tests previously capped at 4K/shard,
+    three orders below the reference's 20M/node workload (main.cpp:70-71).
+    Mergecount local rung: pure XLA (no interpret-mode Pallas), so the
+    scale costs seconds, not hours."""
+    n_dev = 8
+    per = 1 << 20
+    n = per * n_dev
+    r = gen.fill_unique(n, jax.random.key(40))
+    s = gen.fill_unique(n, jax.random.key(41))
+    run = make_distributed_join(mesh8, per, per, CFG,
+                                local_probe="mergecount")
+    res = run(r, s)
+    assert np.asarray(res.ok).all()
+    assert total_distributed_matches(res) == n
+
+
+@pytest.mark.slow
+def test_distributed_checked_capacity_boundary_at_scale(mesh8):
+    """Capacity-boundary recovery at size: 40% of all keys route to one
+    network partition, overflowing the mean-sized shuffle capacity on its
+    owner; the checked wrapper must detect it (ok False) and escalate to
+    the full-capacity mergecount rung with an exact count."""
+    from radixjoin_tpu.engine.distributed import make_distributed_join_checked
+    n_dev = 8
+    per = 1 << 18
+    n = per * n_dev
+    rng = np.random.default_rng(42)
+    def skewed():
+        k = rng.integers(0, 2**31, n, dtype=np.uint32)
+        hot = rng.random(n) < 0.4
+        k[hot] &= ~np.uint32(31)          # pid 0 -> device 0
+        return k
+    rk, sk = skewed(), skewed()
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    want = _np_join_count(rk, sk)
+    run = make_distributed_join_checked(mesh8, per, per, CFG,
+                                        local_probe="mergecount")
+    got, escalated = run(r, s)
+    assert escalated, "0.4n into one partition must overflow 1.3x/8 capacity"
+    assert got == want
 
 
 def test_all_written_invariant_trips_on_lost_put(mesh8, monkeypatch):

@@ -151,6 +151,7 @@ def test_join_rows_unique():
                                   sk[np.asarray(out_s)[v]])
 
 
+@pytest.mark.slow
 def test_banded_mode_engine():
     n = 1 << 14
     r = gen.fill_unique(n, jax.random.key(30))
@@ -160,6 +161,7 @@ def test_banded_mode_engine():
     assert total_matches(res) == n
 
 
+@pytest.mark.slow
 def test_banded_mode_escalates_on_skew():
     n = 1 << 12
     r = make_relation(np.full(n, 9, np.uint32), np.arange(n, dtype=np.uint32))
@@ -195,6 +197,7 @@ def test_diagonal_mode_skew_aware_heavy_keys():
     assert total_matches(res) == _np_join_count(rk, sk)
 
 
+@pytest.mark.slow
 def test_diagonal_mode_escalates():
     # all-duplicate workload blows the diagonal band AND the banded
     # window; the ladder must land on an exact rung
@@ -242,6 +245,7 @@ def test_join_rows_auto_overflow_retry():
                                   sk[np.asarray(out_s)[v]])
 
 
+@pytest.mark.slow
 def test_prepared_build_side_reuse():
     from radixjoin_tpu.engine.join import (prepare_build_side,
                                            join_count_prepared)
@@ -412,6 +416,7 @@ def test_pipeline_filter_join_aggregate():
     assert np.all(gs == 2)
 
 
+@pytest.mark.slow
 def test_pipeline_fast_and_fallback_agree():
     from radixjoin_tpu.engine.pipeline import _fja_fast, _fja_reference
     n = 1 << 12
@@ -433,6 +438,7 @@ def test_pipeline_fast_and_fallback_agree():
     assert int(fast.join_count) == int(ref.join_count)
 
 
+@pytest.mark.slow
 def test_pipeline_multimatch_counting_stays_fast():
     # dim side (r) carries duplicate join keys -> fact rows match 2 dims.
     # Counting aggregations stay on the Pallas fast path (per-row counts
@@ -455,6 +461,7 @@ def test_pipeline_multimatch_counting_stays_fast():
         np.asarray(jnp.bincount(s.keys % (n // 2), length=n // 2)) * 2))
 
 
+@pytest.mark.slow
 def test_pipeline_multimatch_payload_falls_back():
     # With a payload value_of, emitted rids are rid-sums where cnt > 1 —
     # the fast path must flag ok=False and the wrapper must produce the
@@ -480,6 +487,7 @@ def test_pipeline_multimatch_payload_falls_back():
     assert ga == gb and int(res.join_count) == int(ref.join_count)
 
 
+@pytest.mark.slow
 def test_pipeline_ranged_runs():
     # The windowed-emit interpret-mode compile is large; on top of ~50
     # tests' accumulated XLA:CPU code mappings it segfaults LLVM (the
@@ -654,6 +662,7 @@ def test_inhbm_ranged_runs():
     assert (not bool(ok)) or int(m) == n
 
 
+@pytest.mark.slow
 def test_large_rows_materialize():
     # The windowed-emit interpret-mode compile is large; on top of ~50
     # tests' accumulated XLA:CPU code mappings it segfaults LLVM (the
@@ -770,6 +779,7 @@ def test_pipeline_multimatch_payload_multi_rung():
     assert ga == gb and int(res.join_count) == int(ref.join_count)
 
 
+@pytest.mark.slow
 def test_pipeline_multimatch_beyond_m_falls_back():
     # The M-plane interpret-mode compile is large; on top of ~50 tests'
     # accumulated XLA:CPU code mappings it segfaults LLVM (the

@@ -103,6 +103,7 @@ def test_join64_fuzz(kind):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_large_n_modes_agree(seed):
     """n = 2^16 sweep of the cheap always-exact modes plus the diagonal
     fast path (VERDICT r1 weak #7: the fuzz ran at n=4096 only)."""

@@ -359,6 +359,7 @@ def test_probe_count_diagonal_fuzz_ok_implies_exact():
     assert n_ok >= 6   # the check must not be so conservative it never ok's
 
 
+@pytest.mark.slow
 def test_probe_count_diagonal_blocked_parity():
     # the sublane-blocked kernel must agree bit-for-bit with v2 (count
     # AND ok flag) across ok=True and ok=False regimes
@@ -383,6 +384,7 @@ def test_probe_count_diagonal_blocked_parity():
             assert int(m1) == _np_join_count(r, s)
 
 
+@pytest.mark.slow
 def test_join_materialize_windowed():
     # fact (R side of the kernel) has duplicate keys; dim (S side) unique:
     # every fact element matches <= 1 dim row
@@ -451,6 +453,7 @@ def test_windowed_prep_coarse_matches_exact():
             row, start, j0[row], j1[row])
 
 
+@pytest.mark.slow
 def test_join_materialize_windowed_multimatch_flags():
     # dim side with duplicate keys -> some fact elements match 2 rows
     fk = np.arange(256, dtype=np.uint32)

@@ -186,6 +186,7 @@ def test_gen_unique_keys64_avoids_reserved_domain():
         assert lo0 < 0xFFFFFFF0, "generator hits reserved sentinel domain"
 
 
+@pytest.mark.slow
 def test_diagonal_prepad64_matches_unpadded():
     import jax
     import jax.numpy as jnp
