@@ -341,6 +341,32 @@ def run_northstar64_config(n: int, reps: int, meas, runs_shift: int = 28):
     return got
 
 
+def run_northstar64_fused_config(n: int, reps: int, meas,
+                                 run_shift: int = 17):
+    """Fused 64-bit north star (round 4): the wide-key join as one
+    executable over 2^run_shift-element ranged run pairs (two-operand lex
+    sorts + diagonal64 probes, engine/large.join64_count_keys_ranged_
+    fused).  Self-validating duplicate-hi workload: matches == n."""
+    from radixjoin_tpu.engine.large import join64_count_keys_ranged_fused
+    runs = n >> run_shift
+    got = None
+    k = 16
+    with meas.phase("COMPILE"):
+        got, ok = join64_count_keys_ranged_fused(
+            n, runs, 2654435761 | 1, 0x9E3779B1 ^ 0x40, k_drift=k)
+        if not ok and k < 64:
+            k *= 2
+            got, ok = join64_count_keys_ranged_fused(
+                n, runs, 2654435761 | 1, 0x9E3779B1 ^ 0x40, k_drift=k)
+        assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    with meas.phase("JOIN", tuples=2 * n * reps):
+        for _ in range(reps):
+            got, ok = join64_count_keys_ranged_fused(
+                n, runs, 2654435761 | 1, 0x9E3779B1 ^ 0x40, k_drift=k)
+            assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    return got
+
+
 def run_northstar_steady_config(n: int, reps: int, meas, k: int = 8):
     """Prepared-build steady state at north-star scale (VERDICT r1 item
     1b): the build side is sorted/prepadded ONCE and reused across reps —
@@ -458,7 +484,8 @@ def main(argv=None):
                              "distributed-1dev",
                              "pipeline", "pipeline-sf100", "northstar",
                              "northstar-skew",
-                             "northstar64", "northstar-steady",
+                             "northstar64", "northstar64-fused",
+                             "northstar-steady",
                              "northstar-rows"])
     ap.add_argument("--n", type=int, default=None,
                     help="log2 tuples per relation (per shard for distributed)")
@@ -485,6 +512,7 @@ def main(argv=None):
                 "northstar": 30 if on_tpu else 16,
                 "northstar-skew": 30 if on_tpu else 16,
                 "northstar64": 29 if on_tpu else 15,
+                "northstar64-fused": 30 if on_tpu else 15,
                 "northstar-steady": 30 if on_tpu else 16,
                 "northstar-rows": 28 if on_tpu else 14,
                 "pipeline-sf100": 29 if on_tpu else 14}
@@ -522,6 +550,9 @@ def main(argv=None):
         print(f"rows={got}", file=sys.stderr)
     elif args.config == "northstar64":
         got = run_northstar64_config(n, args.reps, meas)
+        print(f"matches={got}", file=sys.stderr)
+    elif args.config == "northstar64-fused":
+        got = run_northstar64_fused_config(n, args.reps, meas)
         print(f"matches={got}", file=sys.stderr)
     else:
         got = run_join_config(n, args.reps, skew=(args.config == "skew"),

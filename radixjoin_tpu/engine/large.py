@@ -278,6 +278,81 @@ def join_count_keys_ranged_fused(n: int, runs: int,
     return int(counts.sum()), bool((oks == 1).all())
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n", "runs", "r_mult", "s_mult",
+                                    "hi_shift", "k_drift", "rows_per_group"))
+def _ranged_fused_all64(n: int, runs: int, r_mult: int, s_mult: int,
+                        hi_shift: int, k_drift: int, rows_per_group: int):
+    """64-bit mirror of :func:`_ranged_fused_all`: one executable looping
+    over ranged run pairs of (hi, lo)-plane keys — per iteration a
+    two-operand lex sort + diagonal64 probe (ops/wide.py).
+
+    Workload (self-validating): v in [0, n) enumerated per run k by an
+    odd-multiplier bijection over subrange k; key64(v) = (v >> hi_shift,
+    v * LO64_MULT mod 2^32).  2^hi_shift consecutive v's share one hi
+    word, so the probe's hi-plane window search sees duplicate runs and
+    the lo-plane comparisons genuinely decide matches; both sides
+    enumerate the same key set => matches == n.
+    """
+    nr = n // runs
+
+    def body(k, carry):
+        counts, oks = carry
+        j = jnp.arange(0, nr, dtype=jnp.uint32)
+        base = jnp.uint32(k) * jnp.uint32(nr)
+
+        def keyplanes(mult):
+            v = ((j * jnp.uint32(mult)) & jnp.uint32(nr - 1)) + base
+            return v >> jnp.uint32(hi_shift), v * jnp.uint32(_LO64_MULT)
+
+        rh, rl = keyplanes(r_mult)
+        sh, sl = keyplanes(s_mult)
+        rbh, rbl = jax.lax.sort((bias_keys(rh), bias_keys(rl)),
+                                num_keys=2, is_stable=False)
+        sbh, sbl = jax.lax.sort((bias_keys(sh), bias_keys(sl)),
+                                num_keys=2, is_stable=False)
+        lo_b = jax.lax.bitcast_convert_type(
+            (base >> jnp.uint32(hi_shift)) ^ jnp.uint32(0x80000000),
+            jnp.int32)
+        hi_b = jax.lax.bitcast_convert_type(
+            ((base + jnp.uint32(nr - 1)) >> jnp.uint32(hi_shift))
+            ^ jnp.uint32(0x80000000), jnp.int32)
+        in_range = ((rbh[0] >= lo_b) & (rbh[nr - 1] <= hi_b)
+                    & (sbh[0] >= lo_b) & (sbh[nr - 1] <= hi_b))
+        rp_h, rp_l = diagonal_prepad64(rbh, rbl, "r", nr, nr,
+                                       k_drift=k_drift,
+                                       rows_per_group=rows_per_group)
+        sp_h, sp_l = diagonal_prepad64(sbh, sbl, "s", nr, nr,
+                                       k_drift=k_drift,
+                                       rows_per_group=rows_per_group)
+        m, okp = probe_count_diagonal64(rp_h, rp_l, sp_h, sp_l,
+                                        k_drift=k_drift,
+                                        rows_per_group=rows_per_group,
+                                        prepadded=(nr, nr))
+        ok_k = (okp & in_range).astype(jnp.int32)
+        return (jax.lax.dynamic_update_index_in_dim(counts, m, k, 0),
+                jax.lax.dynamic_update_index_in_dim(oks, ok_k, k, 0))
+
+    return jax.lax.fori_loop(
+        0, runs, body,
+        (jnp.zeros((runs,), jnp.int32), jnp.zeros((runs,), jnp.int32)))
+
+
+def join64_count_keys_ranged_fused(n: int, runs: int,
+                                   r_mult: int, s_mult: int,
+                                   hi_shift: int = 3,
+                                   k_drift: int = 16,
+                                   rows_per_group: int = 32):
+    """Fused 64-bit ranged join — see :func:`_ranged_fused_all64`.
+    Returns (matches: int, ok: bool)."""
+    assert n % runs == 0 and (n // runs) & ((n // runs) - 1) == 0
+    counts, oks = _ranged_fused_all64(n, runs, r_mult, s_mult,
+                                      hi_shift, k_drift, rows_per_group)
+    counts = np.asarray(jax.device_get(counts), dtype=np.int64)
+    oks = np.asarray(jax.device_get(oks))
+    return int(counts.sum()), bool((oks == 1).all())
+
+
 def _join_ranged_runs(r_source, s_source, runs, k_drift, rows_per_group,
                       sync, n_r_total, n_s_total, meas, domain,
                       blocked=False):

@@ -285,3 +285,16 @@ def test_distributed64_checked_escalates_degenerate_hi(mesh8):
                          make_relation64(s64, np.arange(n, dtype=np.uint32)))
     assert got == want
     assert escalated
+
+
+def test_join64_ranged_fused():
+    # fused 64-bit ranged join (one executable over run pairs): exact on
+    # the duplicate-hi self-validating workload, and hi_shift=0 reduces
+    # to unique-hi
+    from radixjoin_tpu.engine.large import join64_count_keys_ranged_fused
+    n = 1 << 13
+    for hs in (0, 3):
+        m, ok = join64_count_keys_ranged_fused(
+            n, 4, 2654435761 | 1, 0x9E3779B1 ^ 0x40,
+            hi_shift=hs, k_drift=16, rows_per_group=8)
+        assert ok and m == n, (hs, m, ok)
