@@ -367,6 +367,32 @@ def run_northstar64_fused_config(n: int, reps: int, meas,
     return got
 
 
+def run_northstar_steady_fused_config(n: int, reps: int, meas,
+                                      run_shift: int = 17):
+    """Fused steady state (round 4): build side prepared ONCE as a
+    stacked [runs, nr_pad] array of sorted+prepadded ranged runs
+    (engine/large.prepare_ranged_fused, ~4.3 GB resident at 1B/2^17),
+    then each rep pays only the probe side's fused gen+sort+probe loop.
+    The deployment shape where a dimension relation is joined repeatedly."""
+    from radixjoin_tpu.engine.large import (
+        prepare_ranged_fused, join_count_keys_ranged_fused_steady)
+    runs = n >> run_shift
+    with meas.phase("PREPARE_BUILD", tuples=n):
+        build, ok_b = prepare_ranged_fused(n, runs, 2654435761 | 1)
+        _sync(build)
+        assert bool(ok_b)
+    with meas.phase("COMPILE"):
+        got, ok = join_count_keys_ranged_fused_steady(
+            build, n, runs, 0x9E3779B1 ^ 0x40)
+        assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    with meas.phase("JOIN", tuples=2 * n * reps):
+        for _ in range(reps):
+            got, ok = join_count_keys_ranged_fused_steady(
+                build, n, runs, 0x9E3779B1 ^ 0x40)
+            assert ok and got == n, f"oracle mismatch: {got} != {n}"
+    return got
+
+
 def run_northstar_steady_config(n: int, reps: int, meas, k: int = 8):
     """Prepared-build steady state at north-star scale (VERDICT r1 item
     1b): the build side is sorted/prepadded ONCE and reused across reps —
@@ -485,7 +511,7 @@ def main(argv=None):
                              "pipeline", "pipeline-sf100", "northstar",
                              "northstar-skew",
                              "northstar64", "northstar64-fused",
-                             "northstar-steady",
+                             "northstar-steady", "northstar-steady-fused",
                              "northstar-rows"])
     ap.add_argument("--n", type=int, default=None,
                     help="log2 tuples per relation (per shard for distributed)")
@@ -514,6 +540,7 @@ def main(argv=None):
                 "northstar64": 29 if on_tpu else 15,
                 "northstar64-fused": 30 if on_tpu else 15,
                 "northstar-steady": 30 if on_tpu else 16,
+                "northstar-steady-fused": 30 if on_tpu else 16,
                 "northstar-rows": 28 if on_tpu else 14,
                 "pipeline-sf100": 29 if on_tpu else 14}
     logn = args.n if args.n is not None else defaults[args.config]
@@ -544,6 +571,9 @@ def main(argv=None):
         print(f"matches={got}", file=sys.stderr)
     elif args.config == "northstar-steady":
         got = run_northstar_steady_config(n, args.reps, meas)
+        print(f"matches={got}", file=sys.stderr)
+    elif args.config == "northstar-steady-fused":
+        got = run_northstar_steady_fused_config(n, args.reps, meas)
         print(f"matches={got}", file=sys.stderr)
     elif args.config == "northstar-rows":
         got = run_northstar_rows_config(n, args.reps, meas)

@@ -279,6 +279,92 @@ def join_count_keys_ranged_fused(n: int, runs: int,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("n", "runs", "mult", "k_drift",
+                                    "rows_per_group"))
+def prepare_ranged_fused(n: int, runs: int, mult: int,
+                         k_drift: int = 8, rows_per_group: int = 32):
+    """Build-side preparation for the fused steady state: every ranged
+    run generated, sorted and sentinel-prepadded in ONE executable,
+    stacked as int32[runs, nr_pad] (the 'prebuilt hash table' — the
+    deployment shape where a dimension relation is joined repeatedly,
+    cf. engine/join.prepare_build_side).  Returns (build2d, ok) where ok
+    verifies every run's range claim."""
+    nr = n // runs
+    from ..ops.buildprobe import _diag_geometry
+    *_, n_r_pad, _ = _diag_geometry(nr, nr, k_drift, rows_per_group, None)
+
+    def body(k, carry):
+        build, oks = carry
+        x = jnp.arange(0, nr, dtype=jnp.uint32)
+        base = jnp.uint32(k) * jnp.uint32(nr)
+        keys = ((x * jnp.uint32(mult)) & jnp.uint32(nr - 1)) + base
+        rs = jax.lax.sort(bias_keys(keys), is_stable=False)
+        lo_b = jax.lax.bitcast_convert_type(
+            base ^ jnp.uint32(0x80000000), jnp.int32)
+        hi_b = jax.lax.bitcast_convert_type(
+            (base + jnp.uint32(nr - 1)) ^ jnp.uint32(0x80000000), jnp.int32)
+        in_range = ((rs[0] >= lo_b) & (rs[nr - 1] <= hi_b)).astype(jnp.int32)
+        rp = diagonal_prepad(rs, "r", nr, nr, k_drift=k_drift,
+                             rows_per_group=rows_per_group)
+        return (jax.lax.dynamic_update_slice_in_dim(
+                    build, rp[None, :], k, axis=0),
+                jax.lax.dynamic_update_index_in_dim(oks, in_range, k, 0))
+
+    build0 = jnp.zeros((runs, n_r_pad), jnp.int32)
+    build, oks = jax.lax.fori_loop(
+        0, runs, body, (build0, jnp.zeros((runs,), jnp.int32)))
+    return build, jnp.all(oks == 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "runs", "s_mult", "k_drift",
+                                    "rows_per_group", "blocked"))
+def _ranged_fused_steady(build2d, n: int, runs: int, s_mult: int,
+                         k_drift: int, rows_per_group: int, blocked: bool):
+    nr = n // runs
+
+    def body(k, carry):
+        counts, oks = carry
+        x = jnp.arange(0, nr, dtype=jnp.uint32)
+        base = jnp.uint32(k) * jnp.uint32(nr)
+        sk = ((x * jnp.uint32(s_mult)) & jnp.uint32(nr - 1)) + base
+        ss = jax.lax.sort(bias_keys(sk), is_stable=False)
+        lo_b = jax.lax.bitcast_convert_type(
+            base ^ jnp.uint32(0x80000000), jnp.int32)
+        hi_b = jax.lax.bitcast_convert_type(
+            (base + jnp.uint32(nr - 1)) ^ jnp.uint32(0x80000000), jnp.int32)
+        in_range = (ss[0] >= lo_b) & (ss[nr - 1] <= hi_b)
+        sp = diagonal_prepad(ss, "s", nr, nr, k_drift=k_drift,
+                             rows_per_group=rows_per_group)
+        rp = jax.lax.dynamic_index_in_dim(build2d, k, axis=0,
+                                          keepdims=False)
+        m, okp = probe_count_diagonal(rp, sp, k_drift=k_drift,
+                                      rows_per_group=rows_per_group,
+                                      prepadded=(nr, nr), blocked=blocked)
+        ok_k = (okp & in_range).astype(jnp.int32)
+        return (jax.lax.dynamic_update_index_in_dim(counts, m, k, 0),
+                jax.lax.dynamic_update_index_in_dim(oks, ok_k, k, 0))
+
+    return jax.lax.fori_loop(
+        0, runs, body,
+        (jnp.zeros((runs,), jnp.int32), jnp.zeros((runs,), jnp.int32)))
+
+
+def join_count_keys_ranged_fused_steady(build2d, n: int, runs: int,
+                                        s_mult: int, k_drift: int = 8,
+                                        rows_per_group: int = 32,
+                                        blocked: bool = True):
+    """Steady-state fused join: probe a prepared build side
+    (:func:`prepare_ranged_fused`) against freshly generated+sorted S
+    runs, one executable per pass.  Returns (matches: int, ok: bool)."""
+    counts, oks = _ranged_fused_steady(build2d, n, runs, s_mult,
+                                       k_drift, rows_per_group, blocked)
+    counts = np.asarray(jax.device_get(counts), dtype=np.int64)
+    oks = np.asarray(jax.device_get(oks))
+    return int(counts.sum()), bool((oks == 1).all())
+
+
+@functools.partial(jax.jit,
                    static_argnames=("n", "runs", "r_mult", "s_mult",
                                     "hi_shift", "k_drift", "rows_per_group"))
 def _ranged_fused_all64(n: int, runs: int, r_mult: int, s_mult: int,

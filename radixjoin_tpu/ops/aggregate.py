@@ -18,6 +18,51 @@ import jax
 import jax.numpy as jnp
 
 
+def _group_reduce_compact(sorted_keys, is_start, csum, n_groups,
+                          max_groups: int):
+    """Shared segment-reduction core: compact per-group (before-sum, key)
+    triples into ``max_groups`` slots WITHOUT data-dependent gathers.
+
+    The obvious formulation — ``searchsorted`` for each group's start /
+    end then ``csum[...]`` — lowers to ~log2(n) binary-search passes of
+    max_groups-sized random gathers, the measured-slowest op class on
+    this TPU (322 ms per 16.7M-element gather; it made the SF100
+    pipeline's aggregation ~25 s per 2^28-row run).  Instead, ONE
+    unstable sort compacts the group starts: sort (pos-if-start else
+    INT_MAX) carrying (csum-before-position, key) as payload operands,
+    then slice the first max_groups+1 entries.  group_sum[g] =
+    before[g+1] - before[g] (the masked/non-start rows between groups
+    contribute zero to csum, so the difference is exact), with the last
+    live group closed by the total.  Cost: one 3-operand n-sort — ~30x
+    cheaper than the gather cascade at 2^28.
+    """
+    n = sorted_keys.shape[0]
+    csum_prev = jnp.concatenate(
+        [jnp.zeros((1,), csum.dtype), csum[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    a = jnp.where(is_start, pos, jnp.int32(0x7FFFFFFF))
+    keys_in = sorted_keys
+    if max_groups + 1 > n:
+        # the slices below read max_groups+1 leading entries; pad with
+        # non-start filler (masked by ``valid`` anyway)
+        pad = max_groups + 1 - n
+        a = jnp.concatenate([a, jnp.full((pad,), jnp.int32(0x7FFFFFFF))])
+        csum_prev = jnp.concatenate(
+            [csum_prev, jnp.zeros((pad,), csum.dtype)])
+        keys_in = jnp.concatenate(
+            [keys_in, jnp.zeros((pad,), keys_in.dtype)])
+    _, sb, sc = jax.lax.sort((a, csum_prev, keys_in), num_keys=1,
+                             is_stable=False)
+    gslot = jnp.arange(max_groups, dtype=jnp.int32)
+    valid = gslot < n_groups
+    before = sb[:max_groups]
+    nxt = jnp.where(gslot == n_groups - 1, csum[n - 1],
+                    sb[1:max_groups + 1])
+    sums = jnp.where(valid, nxt - before, 0)
+    gkeys = jnp.where(valid, sc[:max_groups], 0)
+    return gkeys, sums, valid
+
+
 def aggregate_sum(keys: jnp.ndarray, values: jnp.ndarray, max_groups: int):
     """Group-by-key sum.  Returns (group_keys, group_sums, valid, n_groups).
 
@@ -29,28 +74,16 @@ def aggregate_sum(keys: jnp.ndarray, values: jnp.ndarray, max_groups: int):
     with an explicit ok flag.
     """
     sk, sv = jax.lax.sort((keys, values), num_keys=1)
-    n = sk.shape[0]
     # Run starts: position 0 or key differs from predecessor.
     prev = jnp.concatenate([sk[:1] ^ jnp.uint32(1), sk[:-1]]) \
         if sk.dtype == jnp.uint32 else jnp.concatenate([sk[:1] - 1, sk[:-1]])
-    is_start = sk != prev
-    is_start = is_start.at[0].set(True)
-    group_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1   # [0, G)
-    n_groups = group_id[-1] + 1
+    is_start = (sk != prev).at[0].set(True)
+    n_groups = jnp.sum(is_start.astype(jnp.int32))
 
     csum = jnp.cumsum(sv.astype(jnp.int32 if jnp.issubdtype(sv.dtype, jnp.integer)
                                 else jnp.float32))
-    # start index of each group g (first position with group_id == g)
-    gslot = jnp.arange(max_groups, dtype=jnp.int32)
-    starts = jnp.searchsorted(group_id, gslot, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(group_id, gslot, side="right").astype(jnp.int32)
-    valid = gslot < n_groups
-    starts_c = jnp.clip(starts, 0, n - 1)
-    ends_c = jnp.clip(ends - 1, 0, n - 1)
-    hi = csum[ends_c]
-    lo = jnp.where(starts_c > 0, csum[starts_c - 1], 0)
-    sums = jnp.where(valid, hi - lo, 0)
-    gkeys = jnp.where(valid, sk[starts_c], 0)
+    gkeys, sums, valid = _group_reduce_compact(sk, is_start, csum,
+                                               n_groups, max_groups)
     return gkeys, sums, valid, n_groups
 
 
@@ -81,31 +114,40 @@ def aggregate_sum_exact(keys: jnp.ndarray, values: jnp.ndarray,
     v = values.astype(jnp.uint32)
     sk, sv = jax.lax.sort((keys, v), num_keys=1)
     n = sk.shape[0]
+    assert max_groups < n, "aggregate_sum_exact: max_groups must be < n"
     prev = jnp.concatenate([sk[:1] ^ jnp.uint32(1), sk[:-1]]) \
         if sk.dtype == jnp.uint32 else jnp.concatenate([sk[:1] - 1, sk[:-1]])
     is_start = (sk != prev).at[0].set(True)
-    group_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    n_groups = group_id[-1] + 1
+    n_groups = jnp.sum(is_start.astype(jnp.int32))
 
+    # Compaction-sort formulation (see _group_reduce_compact): ONE sort
+    # carrying all four plane prefix sums + the count prefix + the key,
+    # instead of gather-lowered searchsorted boundary lookups.
+    def prev_of(csum):
+        return jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
+
+    csums = [jnp.cumsum(((sv >> jnp.uint32(8 * p)) & jnp.uint32(0xFF))
+                        .astype(jnp.int32)) for p in range(4)]
+    ccnt = jnp.cumsum(jnp.ones((n,), jnp.int32))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    a = jnp.where(is_start, pos, jnp.int32(0x7FFFFFFF))
+    sorted_ops = jax.lax.sort(
+        (a, sk, *[prev_of(c) for c in csums], prev_of(ccnt)),
+        num_keys=1, is_stable=False)
+    skey = sorted_ops[1]
+    befores = sorted_ops[2:]
     gslot = jnp.arange(max_groups, dtype=jnp.int32)
-    starts = jnp.searchsorted(group_id, gslot, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(group_id, gslot, side="right").astype(jnp.int32)
     valid = gslot < n_groups
-    starts_c = jnp.clip(starts, 0, n - 1)
-    ends_c = jnp.clip(ends - 1, 0, n - 1)
 
-    def seg_sums(plane_vals):
-        csum = jnp.cumsum(plane_vals.astype(jnp.int32))
-        hi = csum[ends_c]
-        lo = jnp.where(starts_c > 0, csum[starts_c - 1], 0)
-        return jnp.where(valid, hi - lo, 0)
+    def seg(before_sorted, csum):
+        nxt = jnp.where(gslot == n_groups - 1, csum[n - 1],
+                        before_sorted[1:max_groups + 1])
+        return jnp.where(valid, nxt - before_sorted[:max_groups], 0)
 
-    planes = jnp.stack([seg_sums((sv >> jnp.uint32(8 * p))
-                                 & jnp.uint32(0xFF))
-                        for p in range(4)])
-    counts = jnp.where(valid, ends - starts, 0)
+    planes = jnp.stack([seg(befores[p], csums[p]) for p in range(4)])
+    counts = seg(befores[4], ccnt)
     ok = jnp.all(counts < jnp.int32(1 << 23))
-    gkeys = jnp.where(valid, sk[starts_c], 0)
+    gkeys = jnp.where(valid, skey[:max_groups], 0)
     return gkeys, planes, counts, valid, n_groups, ok
 
 
@@ -132,29 +174,19 @@ def aggregate_sum_sorted(sorted_keys: jnp.ndarray, values: jnp.ndarray,
 
     Returns (group_keys, group_sums, valid, n_groups) like aggregate_sum.
     """
-    n = sorted_keys.shape[0]
     m = mask.astype(jnp.int32)
     prev_mask = jnp.concatenate([jnp.zeros((1,), jnp.int32), m[:-1]])
     prev_key = jnp.concatenate([sorted_keys[:1], sorted_keys[:-1]])
     is_start = (m == 1) & ((prev_mask == 0) | (sorted_keys != prev_key))
     is_start = is_start.at[0].set(mask[0])
-    cstart = jnp.cumsum(is_start.astype(jnp.int32))    # starts <= i
-    n_groups = cstart[-1]
+    n_groups = jnp.sum(is_start.astype(jnp.int32))
 
     vals = jnp.where(mask, values, 0)
     csum = jnp.cumsum(vals.astype(
         jnp.int32 if jnp.issubdtype(vals.dtype, jnp.integer)
         else jnp.float32))
-
-    gslot = jnp.arange(max_groups, dtype=jnp.int32)
-    starts = jnp.searchsorted(cstart, gslot + 1, side="left"
-                              ).astype(jnp.int32)
-    ends = jnp.searchsorted(cstart, gslot + 2, side="left").astype(jnp.int32)
-    valid = gslot < n_groups
-    starts_c = jnp.clip(starts, 0, n - 1)
-    ends_c = jnp.clip(ends - 1, 0, n - 1)
-    hi = csum[ends_c]
-    lo = jnp.where(starts_c > 0, csum[starts_c - 1], 0)
-    sums = jnp.where(valid, hi - lo, 0)
-    gkeys = jnp.where(valid, sorted_keys[starts_c], 0)
+    # Masked rows between groups contribute zero to csum, so the
+    # compaction core's before[g+1]-before[g] differences stay exact.
+    gkeys, sums, valid = _group_reduce_compact(sorted_keys, is_start,
+                                               csum, n_groups, max_groups)
     return gkeys, sums, valid, n_groups

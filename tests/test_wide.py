@@ -298,3 +298,18 @@ def test_join64_ranged_fused():
             n, 4, 2654435761 | 1, 0x9E3779B1 ^ 0x40,
             hi_shift=hs, k_drift=16, rows_per_group=8)
         assert ok and m == n, (hs, m, ok)
+
+
+def test_ranged_fused_steady():
+    # prepared-build fused steady state agrees with the one-shot fused
+    # join and the oracle
+    from radixjoin_tpu.engine.large import (
+        prepare_ranged_fused, join_count_keys_ranged_fused_steady)
+    n = 1 << 13
+    build, ok_b = prepare_ranged_fused(n, 4, 2654435761 | 1, k_drift=8,
+                                       rows_per_group=8)
+    assert bool(ok_b)
+    for mult in (0x9E3779B1 ^ 0x40, 0xC2B2AE35 | 1):
+        m, ok = join_count_keys_ranged_fused_steady(
+            build, n, 4, mult, k_drift=8, rows_per_group=8, blocked=False)
+        assert ok and m == n, (mult, m, ok)
