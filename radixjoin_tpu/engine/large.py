@@ -466,6 +466,13 @@ def _join_ranged_runs(r_source, s_source, runs, k_drift, rows_per_group,
             return contextlib.nullcontext()
         return meas.phase(name, tuples=tuples)
 
+    def _detail(name, elements=0):
+        # per-step counters (reference MEASUREMENT_DETAILS tier): one
+        # "step" = one run's synced sort+pad or one pair's probe dispatch
+        if meas is None:
+            return contextlib.nullcontext()
+        return meas.detail(name, elements=elements)
+
     def _bias_const(u):                   # biased-int32 image of a uint32
         return int(np.int32(np.uint32(u) ^ np.uint32(0x80000000)))
 
@@ -485,14 +492,16 @@ def _join_ranged_runs(r_source, s_source, runs, k_drift, rows_per_group,
         # sorts' enqueue-time scratch coexists comfortably (~6 GB), and
         # every host sync is a full relay round-trip (~30-50 ms) —
         # 3 syncs/pair -> 2 was worth ~0.2 s at the 1B scale.
-        with _phase("GEN_SORT", tuples=(n_r_total + n_s_total) // runs):
+        with _phase("GEN_SORT", tuples=(n_r_total + n_s_total) // runs), \
+                _detail("RUN_GEN_SORT", elements=nr + ns):
             rp, rin = prep(r_source, k, "r", nr)
             if max(nr, ns) > (1 << 28):
                 sync(rp)     # 2^29 runs: don't let two sort scratches
                              # coexist (~12 GB enqueue-time peak)
             sp, sin = prep(s_source, k, "s", ns)
             sync(sp)
-        with _phase("PROBE", tuples=nr + ns):
+        with _phase("PROBE", tuples=nr + ns), \
+                _detail("PAIR_PROBE_DISPATCH", elements=nr + ns):
             m, okp = probe_count_diagonal(rp, sp, k_drift=k_drift,
                                           rows_per_group=rows_per_group,
                                           prepadded=(nr, ns),

@@ -114,7 +114,8 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
                          chunk: int | None = None,
                          skew_aware: bool = False,
                          mode: str | None = None,
-                         spill: str = "host") -> int:
+                         spill: str = "host",
+                         meas=None) -> int:
     """Join relations held in host memory, streaming through the device.
 
     ``coarse_bits`` top-level partitions (choose so that the largest
@@ -181,7 +182,8 @@ def join_count_outofcore(r_keys: np.ndarray, r_rids: np.ndarray,
             th.join()
             sk_b = bucket_slices(box["s"], cuts)
             return _pass2_presorted(rk_b, sk_b, cfg, skew_aware,
-                                    r_staged=r_staged, pad_r=pad_r)
+                                    r_staged=r_staged, pad_r=pad_r,
+                                    meas=meas)
         r_sorted = native.radix_sort_keys(r_keys)
         cuts = combined_cuts(r_sorted, s_keys)
         rk_b = bucket_slices(r_sorted, cuts)
@@ -330,7 +332,7 @@ def _diag_prebias(kr_b, ks_b, k_drift, rows_per_group):
 
 
 def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
-                     pad_r=None) -> int:
+                     pad_r=None, meas=None) -> int:
     """Join host-SORTED bucket pairs: rank-diagonal probe directly on the
     staged keys (zero device sorts), escalating any bucket that trips the
     probe's exact coverage check to the always-correct mergecount rung.
@@ -350,16 +352,28 @@ def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
         pad_r = ((max_rb + 1023) // 1024) * 1024
     pad_s = ((max_sb + 1023) // 1024) * 1024
 
+    import contextlib as _ctx
+
+    def _detail(name, elements=0):
+        # per-bucket counters (reference MEASUREMENT_DETAILS per-put
+        # tier, Measurements.cpp:247-541): encode = host CPU work,
+        # stage_dispatch = H2D + decode + probe enqueue
+        if meas is None:
+            return _ctx.nullcontext()
+        return meas.detail(name, elements=elements)
+
     def decode_pair(p):
         # Sentinel padding keeps the staged array sorted (keys <
         # 2^32 - 16) and maps onto the probe's side-distinct convention.
         if r_staged is not None and p in r_staged:
             kr_dev = _decode_staged(r_staged[p])
         else:
-            kr_dev = _decode_staged(_stage(_delta_encode(rk_b[p], pad_r,
-                                                         0xFFFFFFFF)))
-        ks_dev = _decode_staged(_stage(_delta_encode(sk_b[p], pad_s,
-                                                     0xFFFFFFFE)))
+            with _detail("OOC_ENCODE_R", elements=rk_b[p].shape[0]):
+                enc = _delta_encode(rk_b[p], pad_r, 0xFFFFFFFF)
+            kr_dev = _decode_staged(_stage(enc))
+        with _detail("OOC_ENCODE_S", elements=sk_b[p].shape[0]):
+            enc_s = _delta_encode(sk_b[p], pad_s, 0xFFFFFFFE)
+        ks_dev = _decode_staged(_stage(enc_s))
         return kr_dev, ks_dev
 
     # One-deep pipeline: dispatch pair p's decode+probe, then pull pair
@@ -372,9 +386,11 @@ def _pass2_presorted(rk_b, sk_b, cfg, skew_aware, r_staged=None,
     live = [q for q in range(n_coarse)
             if rk_b[q].shape[0] and sk_b[q].shape[0]]
     for p in live:
-        kr_dev, ks_dev = decode_pair(p)
-        m, ok = _diag_prebias(kr_dev, ks_dev, cfg.diagonal_k,
-                              cfg.diagonal_rows_per_group)
+        with _detail("OOC_BUCKET_DISPATCH",
+                     elements=rk_b[p].shape[0] + sk_b[p].shape[0]):
+            kr_dev, ks_dev = decode_pair(p)
+            m, ok = _diag_prebias(kr_dev, ks_dev, cfg.diagonal_k,
+                                  cfg.diagonal_rows_per_group)
         del kr_dev, ks_dev                    # freed once the probe runs
         if prev is not None:
             q, m0, ok0 = prev

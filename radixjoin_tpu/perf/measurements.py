@@ -44,6 +44,22 @@ class PhaseStats:
 
 
 @dataclass
+class DetailStats:
+    """Per-STEP counters — the reference's MEASUREMENT_DETAILS tier
+    (per-put/per-task µs + call + element sums, Measurements.cpp:247-541,
+    enabled by the MEASUREMENT_DETAILS_* compile defines,
+    CMakeLists.txt:10).  Here a runtime flag (RADIXJOIN_DETAILS=1 or
+    ``Measurements(details_enabled=True)``) gates them, and a "step" is a
+    host-observable unit — one run's sort+pad, one pair's probe dispatch,
+    one out-of-core bucket's encode/stage — since device-internal put
+    granularity belongs to jax.profiler traces."""
+    name: str
+    seconds: float = 0.0
+    calls: int = 0
+    elements: int = 0
+
+
+@dataclass
 class Measurements:
     """One experiment's measurements (reference Measurements is all-static;
     ours is an object so concurrent experiments don't collide)."""
@@ -53,6 +69,10 @@ class Measurements:
     node_id: int = 0
     n_nodes: int = 1
     phases: dict = field(default_factory=dict)
+    details: dict = field(default_factory=dict)
+    details_enabled: bool = field(
+        default_factory=lambda: os.environ.get("RADIXJOIN_DETAILS", "0")
+        not in ("0", "", "false"))
     meta: dict = field(default_factory=dict)
     hbm_gbps: float = 800.0   # per-chip roofline; calibrate with bench
     ici_gbps: float = 45.0    # per-link
@@ -83,6 +103,22 @@ class Measurements:
             jax.block_until_ready(out)
         return out
 
+    @contextlib.contextmanager
+    def detail(self, name: str, elements: int = 0):
+        """Per-step counter (reference HI*/MI*/LP*/BP* detail tags).
+        No-op unless ``details_enabled`` — the runtime mirror of the
+        reference's MEASUREMENT_DETAILS_* compile gates."""
+        if not self.details_enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        st = self.details.setdefault(name, DetailStats(name))
+        st.seconds += dt
+        st.calls += 1
+        st.elements += elements
+
     # -- reporting -------------------------------------------------------
     def sol_fraction(self, st: PhaseStats) -> Optional[float]:
         """Achieved fraction of the roofline for a phase, if it declared
@@ -110,6 +146,11 @@ class Measurements:
             if frac is not None:
                 entry["speed_of_light_fraction"] = frac
             out["phases"][name] = entry
+        if self.details:
+            out["details"] = {
+                name: {"calls": st.calls, "us": st.seconds * 1e6,
+                       "elements": st.elements}
+                for name, st in self.details.items()}
         return out
 
     def print_summary(self) -> None:
@@ -144,6 +185,13 @@ class Measurements:
                 frac = self.sol_fraction(st)
                 if frac is not None:
                     f.write(f"{name}_SOL\t{frac:.4f}\tfraction\n")
+            # detail tier: <tag>\t<µs sum>\tus + _CALLS/_ELEMS rows, the
+            # reference's per-step .perf lines (Measurements.cpp:247-541)
+            for name, st in self.details.items():
+                f.write(f"{name}\t{st.seconds*1e6:.0f}\tus\n")
+                f.write(f"{name}_CALLS\t{st.calls}\tcount\n")
+                if st.elements:
+                    f.write(f"{name}_ELEMS\t{st.elements}\tcount\n")
         info_path = os.path.join(d, f"{self.node_id}.info")
         with open(info_path, "w") as f:
             f.write(f"NUMNODES\t{self.n_nodes}\n")

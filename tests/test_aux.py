@@ -125,3 +125,50 @@ def test_thread_pinning_roundtrip():
     assert thread.pin_to_core(core)
     assert thread.pinned_cores() == {core}
     os.sched_setaffinity(0, cores)  # restore
+
+
+def test_measurements_detail_tier(tmp_path):
+    # Per-step counters (reference MEASUREMENT_DETAILS,
+    # Measurements.cpp:247-541): runtime-gated, summed per tag, emitted
+    # as tagged .perf lines + a "details" block in the JSON report.
+    m = Measurements(node_id=0, n_nodes=1, details_enabled=True)
+    for k in range(3):
+        with m.detail("RUN_GEN_SORT", elements=100):
+            pass
+    with m.detail("PAIR_PROBE_DISPATCH", elements=7):
+        pass
+    assert m.details["RUN_GEN_SORT"].calls == 3
+    assert m.details["RUN_GEN_SORT"].elements == 300
+    rep = m.report()
+    assert rep["details"]["PAIR_PROBE_DISPATCH"]["elements"] == 7
+    d = m.store(str(tmp_path))
+    perf = open(f"{d}/0.perf").read()
+    assert "RUN_GEN_SORT_CALLS\t3" in perf
+    assert "RUN_GEN_SORT_ELEMS\t300" in perf
+    # default-off: zero overhead path records nothing
+    m2 = Measurements(details_enabled=False)
+    with m2.detail("X", elements=1):
+        pass
+    assert not m2.details
+
+
+def test_ooc_detail_counters():
+    # the out-of-core presorted path records per-bucket encode/dispatch
+    # steps when a details-enabled Measurements rides along
+    import numpy as np
+    from radixjoin_tpu import JoinConfig
+    from radixjoin_tpu.engine.outofcore import join_count_outofcore
+    n = 1 << 12
+    rng = np.random.default_rng(77)
+    rk = rng.permutation(n).astype(np.uint32)
+    sk = rng.permutation(n).astype(np.uint32)
+    cfg = JoinConfig(use_pallas=True, diagonal_k=8,
+                     diagonal_rows_per_group=8)
+    m = Measurements(details_enabled=True)
+    got = join_count_outofcore(rk, np.arange(n, dtype=np.uint32),
+                               sk, np.arange(n, dtype=np.uint32),
+                               cfg, coarse_bits=2, spill="host",
+                               mode="diagonal", meas=m)
+    assert got == n
+    assert m.details["OOC_BUCKET_DISPATCH"].calls == 4
+    assert m.details["OOC_BUCKET_DISPATCH"].elements == 2 * n
