@@ -52,10 +52,11 @@ def verify_pair(k, rrs, srid, cnt, nr, odd_r, odd_s, rng):
 
     # checksums over the WHOLE pair (device-side reductions, no pull):
     # every row matched exactly once, so matched-rid sums equal the run's
-    # full rid range sums on both sides.
-    sums = jax.jit(lambda a, c: (jnp.sum(a.astype(jnp.float64) * c),
-                                 jnp.sum(c)))
-    # float64 unavailable without x64; use two-plane int sums instead
+    # full rid range sums on both sides.  The device sums are int32 and
+    # WRAP past ~2^17 rows (sum of 15-bit planes ~ nr * 2^15), which is
+    # fine for a checksum — compare both sides modulo 2^32 (the round-3
+    # version compared a wrapped int32 against an int64 and could never
+    # pass at 2^28; it had in fact never been run at that size).
     sums = jax.jit(lambda a, c: (
         jnp.sum((a & 0x7FFF) * c), jnp.sum((a >> 15) * c), jnp.sum(c)))
     lo_r, hi_r, tot = (int(x) for x in jax.device_get(sums(rrs, cnt)))
@@ -64,8 +65,11 @@ def verify_pair(k, rrs, srid, cnt, nr, odd_r, odd_s, rng):
     want_lo = int(np.sum(want & 0x7FFF))
     want_hi = int(np.sum(want >> 15))
     assert tot == nr, f"pair {k}: {tot} rows != {nr}"
-    assert lo_r == want_lo and hi_r == want_hi, f"pair {k}: R rid checksum"
-    assert lo_s == want_lo and hi_s == want_hi, f"pair {k}: S rid checksum"
+    m32 = 1 << 32
+    assert (lo_r - want_lo) % m32 == 0 and (hi_r - want_hi) % m32 == 0, \
+        f"pair {k}: R rid checksum"
+    assert (lo_s - want_lo) % m32 == 0 and (hi_s - want_hi) % m32 == 0, \
+        f"pair {k}: S rid checksum"
 
 
 def main():

@@ -1035,28 +1035,55 @@ def _emit_kernel(w, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref, srid_ref,
         c.wait()
 
     meta = wmeta_ref[pl.ds(k, 1), :]                    # (1, 128)
-    for i in range(gr):                                 # static unroll
-        base = meta[0, 1 + i]                           # window row in band
-        swin_k = scr_k[slot, pl.ds(base, w), :]         # (w, 128)
-        swin_r = scr_r[slot, pl.ds(base, w), :]
-        rrow = rk_ref[i:i + 1, :]
+    for j in range(gr // _ROWS):                        # static unroll
+        # Sublane-blocked (round 4, cf. _emit_kernel_mplane /
+        # _probe_diag_kernel_blocked): sublane i of window block t holds
+        # window row (base_i + t) of R row j*8+i, so the 128-shift loop
+        # runs on full (8, 128) vregs — the per-row form issued every op
+        # at 1/8 VPU width.  Per-sublane independence: row i matches
+        # only inside its own window rows.
+        r8 = rk_ref[pl.ds(j * _ROWS, _ROWS), :]         # (8, 128)
+        wins_k = []
+        wins_r = []
+        for t in range(w):
+            rows_k = []
+            rows_r = []
+            for i in range(_ROWS):
+                base = meta[0, 1 + j * _ROWS + i]       # window row in band
+                rows_k.append(scr_k[slot, pl.ds(base + t, 1), :])
+                rows_r.append(scr_r[slot, pl.ds(base + t, 1), :])
+            wins_k.append(jnp.concatenate(rows_k, axis=0))   # (8, 128)
+            wins_r.append(jnp.concatenate(rows_r, axis=0))
 
-        def shift_body(sh, carry, swin_k=swin_k, swin_r=swin_r, rrow=rrow):
-            out_v, out_c = carry
-            rolled = pltpu.roll(rrow, sh, axis=1)
-            m = (swin_k == rolled).astype(jnp.int32)    # (w, 128) j-space
-            pick = jnp.sum(m * swin_r, axis=0, keepdims=True)
-            c = jnp.sum(m, axis=0, keepdims=True)
+        def one_shift(sh, out_v, out_c, r8=r8, wins_k=wins_k,
+                      wins_r=wins_r):
+            rolled = pltpu.roll(r8, sh, axis=1)
+            pick = jnp.zeros((_ROWS, 128), jnp.int32)
+            c = jnp.zeros((_ROWS, 128), jnp.int32)
+            for t in range(w):
+                m = (wins_k[t] == rolled).astype(jnp.int32)
+                pick = pick + m * wins_r[t]
+                c = c + m
             back = jax.lax.rem(128 - sh, 128)           # j -> l lane map
             return (out_v + pltpu.roll(pick, back, axis=1),
                     out_c + pltpu.roll(c, back, axis=1))
 
+        def chunk_body(cc, carry, one_shift=one_shift):
+            # chunked unroll (see _emit_kernel_mplane): 8-shift inner
+            # Python loop inside the fori_loop keeps the scoped-VMEM
+            # stack bounded while amortising loop overhead
+            out_v, out_c = carry
+            for s in range(8):
+                out_v, out_c = one_shift(cc * 8 + s, out_v, out_c)
+            return (out_v, out_c)
+
         out_v, out_c = jax.lax.fori_loop(
-            0, 128, shift_body,
-            (jnp.zeros((1, 128), jnp.int32), jnp.zeros((1, 128), jnp.int32)),
-            unroll=128)
-        rid_out_ref[i:i + 1, :] = out_v
-        cnt_out_ref[i:i + 1, :] = out_c
+            0, 16, chunk_body,
+            (jnp.zeros((_ROWS, 128), jnp.int32),
+             jnp.zeros((_ROWS, 128), jnp.int32)),
+            unroll=1)
+        rid_out_ref[pl.ds(j * _ROWS, _ROWS), :] = out_v
+        cnt_out_ref[pl.ds(j * _ROWS, _ROWS), :] = out_c
 
 
 def _windowed_prep(r_sorted, s_sorted, s_rids, w: int, gr: int,
