@@ -89,9 +89,13 @@ def bench_join_northstar_fused(n: int, reps: int, meas, k_drift: int,
     from radixjoin_tpu.engine.large import join_count_keys_ranged_fused
     runs = n >> run_shift
     r_mult, s_mult = 2654435761 | 1, 0x9E3779B1 ^ 0x40
+    # gr=64 measured ~1.5% over 32 at the 2^17 knee (round-4 tuning,
+    # BENCH_NOTES); 96 regresses.
+    gr = int(os.environ.get("BENCH_ROWS_PER_GROUP", "64"))
     # rep 0 = compile warmup, untimed
     m, ok = join_count_keys_ranged_fused(n, runs, r_mult, s_mult,
-                                         k_drift=k_drift)
+                                         k_drift=k_drift,
+                                         rows_per_group=gr)
     if not ok and k_drift < 32:
         log(f"fused k_drift={k_drift} check tripped; escalating "
             f"to {k_drift * 2}")
@@ -103,7 +107,8 @@ def bench_join_northstar_fused(n: int, reps: int, meas, k_drift: int,
         with meas.phase("JOIN_FUSED", tuples=2 * n):
             t0 = time.perf_counter()
             m, ok = join_count_keys_ranged_fused(n, runs, r_mult, s_mult,
-                                                 k_drift=k_drift)
+                                                 k_drift=k_drift,
+                                                 rows_per_group=gr)
             total += time.perf_counter() - t0
         assert ok and m == n, f"oracle mismatch: {m} != {n} (ok={ok})"
     return total / reps

@@ -377,18 +377,20 @@ def run_northstar_steady_fused_config(n: int, reps: int, meas,
     from radixjoin_tpu.engine.large import (
         prepare_ranged_fused, join_count_keys_ranged_fused_steady)
     runs = n >> run_shift
+    gr = 64            # round-4 tuning: gr=64 beats 32 at the 2^17 knee
     with meas.phase("PREPARE_BUILD", tuples=n):
-        build, ok_b = prepare_ranged_fused(n, runs, 2654435761 | 1)
+        build, ok_b = prepare_ranged_fused(n, runs, 2654435761 | 1,
+                                           rows_per_group=gr)
         _sync(build)
         assert bool(ok_b)
     with meas.phase("COMPILE"):
         got, ok = join_count_keys_ranged_fused_steady(
-            build, n, runs, 0x9E3779B1 ^ 0x40)
+            build, n, runs, 0x9E3779B1 ^ 0x40, rows_per_group=gr)
         assert ok and got == n, f"oracle mismatch: {got} != {n}"
     with meas.phase("JOIN", tuples=2 * n * reps):
         for _ in range(reps):
             got, ok = join_count_keys_ranged_fused_steady(
-                build, n, runs, 0x9E3779B1 ^ 0x40)
+                build, n, runs, 0x9E3779B1 ^ 0x40, rows_per_group=gr)
             assert ok and got == n, f"oracle mismatch: {got} != {n}"
     return got
 
