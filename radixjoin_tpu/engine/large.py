@@ -255,6 +255,113 @@ def _ranged_fused_all(n: int, runs: int, r_mult: int, s_mult: int,
         (jnp.zeros((runs,), jnp.int32), jnp.zeros((runs,), jnp.int32)))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("runs", "domain", "k_drift",
+                                    "rows_per_group", "blocked"))
+def _ranged_fused_arrays(r_keys, s_keys, runs: int, domain: int,
+                         k_drift: int, rows_per_group: int, blocked: bool):
+    """Array-input form of :func:`_ranged_fused_all`: both sides are
+    RESIDENT uint32 key arrays already value-range-partitioned into
+    ``runs`` equal position-slices (run k = keys in [k*domain/runs,
+    (k+1)*domain/runs), e.g. host-sorted out-of-core buckets after H2D,
+    or data that arrived partition-contiguous through the shuffle).  The
+    loop slices run pairs with dynamic_slice — no per-pair dispatch, one
+    executable, range claims verified per run on device."""
+    nr = r_keys.shape[0] // runs
+    ns = s_keys.shape[0] // runs
+    span = domain // runs
+
+    def body(k, carry):
+        counts, oks = carry
+        rk = jax.lax.dynamic_slice_in_dim(r_keys, k * nr, nr)
+        sk = jax.lax.dynamic_slice_in_dim(s_keys, k * ns, ns)
+        rs = jax.lax.sort(bias_keys(rk), is_stable=False)
+        ss = jax.lax.sort(bias_keys(sk), is_stable=False)
+        base = jnp.uint32(k) * jnp.uint32(span)
+        lo_b = jax.lax.bitcast_convert_type(
+            base ^ jnp.uint32(0x80000000), jnp.int32)
+        hi_b = jax.lax.bitcast_convert_type(
+            (base + jnp.uint32(span - 1)) ^ jnp.uint32(0x80000000),
+            jnp.int32)
+        in_range = ((rs[0] >= lo_b) & (rs[nr - 1] <= hi_b)
+                    & (ss[0] >= lo_b) & (ss[ns - 1] <= hi_b))
+        rp = diagonal_prepad(rs, "r", nr, ns, k_drift=k_drift,
+                             rows_per_group=rows_per_group)
+        sp = diagonal_prepad(ss, "s", nr, ns, k_drift=k_drift,
+                             rows_per_group=rows_per_group)
+        m, okp = probe_count_diagonal(rp, sp, k_drift=k_drift,
+                                      rows_per_group=rows_per_group,
+                                      prepadded=(nr, ns), blocked=blocked)
+        ok_k = (okp & in_range).astype(jnp.int32)
+        return (jax.lax.dynamic_update_index_in_dim(counts, m, k, 0),
+                jax.lax.dynamic_update_index_in_dim(oks, ok_k, k, 0))
+
+    return jax.lax.fori_loop(
+        0, runs, body,
+        (jnp.zeros((runs,), jnp.int32), jnp.zeros((runs,), jnp.int32)))
+
+
+def join_count_keys_ranged_fused_arrays(r_keys, s_keys, runs: int,
+                                        domain: int, k_drift: int = 8,
+                                        rows_per_group: int = 64,
+                                        blocked: bool = True):
+    """Fused ranged join over resident range-partitioned key ARRAYS (see
+    :func:`_ranged_fused_arrays`).  Returns (matches: int, ok: bool);
+    ok=False (range/coverage trip on any run) -> escalate, e.g. via
+    :func:`join_count_keys_runs` or a skew-aware path."""
+    assert r_keys.shape[0] % runs == 0 and s_keys.shape[0] % runs == 0
+    assert domain % runs == 0
+    counts, oks = _ranged_fused_arrays(r_keys, s_keys, runs, domain,
+                                       k_drift, rows_per_group, blocked)
+    counts = np.asarray(jax.device_get(counts), dtype=np.int64)
+    oks = np.asarray(jax.device_get(oks))
+    return int(counts.sum()), bool((oks == 1).all())
+
+
+def join_count_keys_ranged_fused_arrays_checked(r_keys, s_keys, runs: int,
+                                                domain: int,
+                                                k_drift: int = 8,
+                                                rows_per_group: int = 64,
+                                                blocked: bool = True):
+    """Escalating form of :func:`join_count_keys_ranged_fused_arrays` —
+    the fused path's rung on the engine ladder (cf. join_count_checked):
+    a tripped diagonal coverage check (duplicate-heavy runs) escalates
+    each diagonal run pair to the exact host-finished mergecount.  A
+    violated RANGE claim is a caller contract bug (the data was declared
+    range-partitioned) and raises instead of silently recomputing with
+    the wrong pairing.
+
+    Returns (matches: int, escalated: bool).
+    """
+    m, ok = join_count_keys_ranged_fused_arrays(
+        r_keys, s_keys, runs, domain, k_drift, rows_per_group, blocked)
+    if ok:
+        return m, False
+    nr = r_keys.shape[0] // runs
+    ns = s_keys.shape[0] // runs
+    span = domain // runs
+    rng_ok = jax.jit(lambda a, lo, hi: (jnp.min(a) >= lo)
+                     & (jnp.max(a) <= hi))
+    for k in range(runs):
+        lo = jnp.uint32(k * span)
+        hi = jnp.uint32((k + 1) * span - 1)
+        if not (bool(rng_ok(jax.lax.slice_in_dim(r_keys, k * nr,
+                                                 (k + 1) * nr), lo, hi))
+                and bool(rng_ok(jax.lax.slice_in_dim(s_keys, k * ns,
+                                                     (k + 1) * ns),
+                                lo, hi))):
+            raise ValueError(
+                f"run {k} violates the declared value-range partition — "
+                "the ranged-fused contract does not hold for this data; "
+                "use join_count_keys_runs / join_count_checked instead")
+    total = 0
+    for k in range(runs):
+        total += probe_count_merged_exact(
+            jax.lax.slice_in_dim(r_keys, k * nr, (k + 1) * nr),
+            jax.lax.slice_in_dim(s_keys, k * ns, (k + 1) * ns))
+    return total, True
+
+
 def join_count_keys_ranged_fused(n: int, runs: int,
                                  r_mult: int, s_mult: int,
                                  k_drift: int = 8,

@@ -313,3 +313,67 @@ def test_ranged_fused_steady():
         m, ok = join_count_keys_ranged_fused_steady(
             build, n, 4, mult, k_drift=8, rows_per_group=8, blocked=False)
         assert ok and m == n, (mult, m, ok)
+
+
+def test_ranged_fused_arrays_oracle_and_escalation():
+    # fused array-input form: exact on range-partitioned random data,
+    # ok=False when the range claim is violated (shuffled input)
+    import jax.numpy as jnp
+    from radixjoin_tpu.engine.large import join_count_keys_ranged_fused_arrays
+    rng = np.random.default_rng(80)
+    n, runs = 1 << 13, 4
+    domain = 1 << 13
+    span = domain // runs
+
+    # range-partitioned sides, dense-unique within each range (the
+    # balanced regime the diagonal probe wants; duplicate-heavy data
+    # trips coverage and escalates by design — tested separately below)
+    def side(seed):
+        g = np.random.default_rng(seed)
+        parts = [g.permutation(np.arange(k * span, (k + 1) * span,
+                                         dtype=np.uint32))
+                 for k in range(runs)]
+        return np.concatenate(parts)
+    rk, sk = side(1), side(2)
+    want = n
+    m, ok = join_count_keys_ranged_fused_arrays(
+        jnp.asarray(rk), jnp.asarray(sk), runs, domain,
+        k_drift=16, rows_per_group=8, blocked=False)
+    assert ok and m == want
+    # violated range claim: a shuffled S must flip ok (counts untrusted)
+    m2, ok2 = join_count_keys_ranged_fused_arrays(
+        jnp.asarray(rk), jnp.asarray(rng.permutation(sk)), runs, domain,
+        k_drift=16, rows_per_group=8, blocked=False)
+    assert not ok2
+
+
+def test_ranged_fused_arrays_checked_escalates():
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from radixjoin_tpu.engine.large import (
+        join_count_keys_ranged_fused_arrays_checked)
+    rng = np.random.default_rng(81)
+    n, runs = 1 << 12, 4
+    domain = 1 << 12
+    span = domain // runs
+    # duplicate-heavy ranged data: coverage trips, mergecount escalation
+    # must stay exact
+    def side(seed):
+        g = np.random.default_rng(seed)
+        parts = [g.integers(k * span, k * span + 8, n // runs,
+                            dtype=np.uint32) for k in range(runs)]
+        return np.concatenate(parts)
+    rk, sk = side(1), side(2)
+    r_u, r_c = np.unique(rk, return_counts=True)
+    s_u, s_c = np.unique(sk, return_counts=True)
+    _, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
+    want = int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))
+    got, escalated = join_count_keys_ranged_fused_arrays_checked(
+        jnp.asarray(rk), jnp.asarray(sk), runs, domain,
+        k_drift=8, rows_per_group=8, blocked=False)
+    assert escalated and got == want
+    # violated range declaration raises (contract bug, not escalation)
+    with _pytest.raises(ValueError):
+        join_count_keys_ranged_fused_arrays_checked(
+            jnp.asarray(rk), jnp.asarray(rng.permutation(sk)), runs,
+            domain, k_drift=8, rows_per_group=8, blocked=False)
