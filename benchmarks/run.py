@@ -159,11 +159,32 @@ def run_distributed_1dev_config(n: int, reps: int, meas, cfg,
             res = run(r, s)
             _sync(res.partial_matches)
 
-    # Materialising variant at reduced size (static max_out rows/device;
-    # its XLA-gather output assembly is the slowest op class on this
-    # chip).  Guarded: a failure here must not lose the count-phase
-    # numbers above (round-4 note: the first 2^25 attempt crashed the
-    # relay worker).
+    # DENSE materialising rung at FULL size (round 4): sort + windowed
+    # emit per shard — no max_out bound, no gather assembly.
+    totd = -1
+    try:
+        rund = make_distributed_join(mesh, n, n, cfg,
+                                     materialize_dense=True)
+        with meas.phase("COMPILE_MAT_DENSE"):
+            rows = rund(r, s)
+            _sync(rows.counts)
+        assert np.asarray(rows.ok).all()
+        totd = int(np.sum(np.asarray(rows.counts, dtype=np.int64)))
+        assert totd == n, f"dense materialising rows {totd} != {n}"
+        with meas.phase("JOIN_MAT_DENSE", tuples=2 * n * reps):
+            for _ in range(reps):
+                rows = rund(r, s)
+                _sync(rows.counts)
+        del rows, rund
+    except Exception as e:
+        print(f"dense materialising variant failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+
+    # max_out row-triple variant at reduced size (static max_out
+    # rows/device; its XLA-gather output assembly is the slowest op class
+    # on this chip).  Guarded: a failure here must not lose the numbers
+    # above (round-4 note: the first 2^25 attempt crashed the relay
+    # worker).
     nm = 1 << (mat_logn if mat_logn is not None
                else max(10, n.bit_length() - 5))
     totm = -1

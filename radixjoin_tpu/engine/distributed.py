@@ -32,7 +32,8 @@ from ..data.tuples import Relation, radix_bits
 from ..ops import skew as skew_ops
 from ..ops.buildprobe import (probe_count_tiered, probe_count_banded,
                               probe_count_diagonal, _merged_partials,
-                              bias_keys, join_materialize)
+                              bias_keys, join_materialize,
+                              join_materialize_windowed)
 from ..ops.partition import partition_relation
 from ..ops.wide import (Relation64, _merged_partials64,
                         probe_count_diagonal64)
@@ -104,6 +105,7 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                           skew_aware: bool = False,
                           local_probe: str = "tiered",
                           materialize_max_out: int | None = None,
+                          materialize_dense: bool = False,
                           full_capacity: bool = False):
     """Build the jitted SPMD join for given static per-shard sizes.
 
@@ -128,6 +130,10 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
     assert not (materialize_max_out is not None and skew_aware), (
         "materialising join emits rows; the heavy-hitter pre-pass only "
         "counts — combine is not supported yet")
+    assert not (materialize_dense and
+                (materialize_max_out is not None or skew_aware)), (
+        "materialize_dense is its own output form (no max_out bound) and "
+        "emits rows (no skew pre-pass)")
     if full_capacity:
         from ..config import next_multiple
         cap_r = next_multiple(n_r_shard, 128)
@@ -226,6 +232,30 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         ok = ((recv_r == expected_r) & (recv_s == expected_s)
               & ~shuf_r.overflow & ~shuf_s.overflow)
 
+        if materialize_dense:
+            # Dense materialising local rung (round 4): full key sort of
+            # the received shard + the windowed emit kernel — the engine's
+            # scatter-free output form at shard scale (reference `probe`
+            # output claiming, kernels.cu:236-243, without the static
+            # output bound or the gather assembly).  Invalid shuffle
+            # slots sort to the tail as side-distinct sentinels and emit
+            # count 0.
+            from ..utils.backend import pallas_interpret
+            rbk, rrs = jax.lax.sort(
+                (bias_keys(shuf_r.keys, ~shuf_r.valid, 0xFFFFFFFF),
+                 shuf_r.rids.astype(jnp.int32)), num_keys=1,
+                is_stable=False)
+            sbk, srs = jax.lax.sort(
+                (bias_keys(shuf_s.keys, ~shuf_s.valid, 0xFFFFFFFE),
+                 shuf_s.rids.astype(jnp.int32)), num_keys=1,
+                is_stable=False)
+            out_srid, cnt, win_ok, multi = join_materialize_windowed(
+                rbk, sbk, srs,
+                rows_per_group=8 if pallas_interpret() else 32)
+            row_ok = ok & win_ok & ~multi
+            return (rrs.astype(jnp.uint32)[None], out_srid[None],
+                    cnt[None], row_ok[None])
+
         # ---- phase 4: local processing (second radix pass + probe) ----
         # Local radix bits sit ABOVE the network bits (reference
         # LocalPartitioning's MASK over value bits [32..37),
@@ -312,7 +342,9 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
 
     sharded = NamedSharding(mesh, P(axis))
 
-    if materialize_max_out is not None:
+    if materialize_dense:
+        out_specs = (P(axis),) * 4
+    elif materialize_max_out is not None:
         out_specs = (P(axis),) * 6
     else:
         out_specs = (P(axis), P(axis), P(), P(), P(axis), P(axis),
@@ -335,11 +367,30 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         sk = jax.lax.with_sharding_constraint(s.keys, sharded)
         sr = jax.lax.with_sharding_constraint(s.rids, sharded)
         out = mapped(rk, rr, sk, sr)
+        if materialize_dense:
+            return DistributedJoinRowsDense(*out)
         if materialize_max_out is not None:
             return DistributedJoinRows(*out)
         return DistributedJoinResult(*out)
 
     return run
+
+
+class DistributedJoinRowsDense(NamedTuple):
+    """Materialised distributed join in the engine's DENSE form (round 4):
+    per shard, outputs are aligned to the received R rows in sorted-key
+    order — R row i matched ``counts[i]`` S rows and, where counts == 1,
+    its partner is ``s_rids[i]`` (the windowed emit kernel's convention,
+    ops/buildprobe.join_materialize_windowed).  No static max_out bound,
+    no gather-assembled row triples (the triple-producing variant's
+    output gathers are the slowest op class on this chip and crashed the
+    relay worker at 2^25/shard; this form scales with the shard).
+    ``ok`` False on window overflow or a multi-match R row — escalate to
+    the max_out variant."""
+    r_rids: jnp.ndarray   # uint32[D * recv]  sorted-key-order R rids
+    s_rids: jnp.ndarray   # int32[D * recv]   partner rid where count==1
+    counts: jnp.ndarray   # int32[D * recv]   matches per R row
+    ok: jnp.ndarray       # bool[D]
 
 
 class DistributedJoin64Result(NamedTuple):

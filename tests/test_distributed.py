@@ -298,3 +298,47 @@ def test_distribute_sections(mesh8):
     # global multiset of tuples preserved
     np.testing.assert_array_equal(np.sort(rr), rids)
     np.testing.assert_array_equal(keys[rr], rk)
+
+
+def test_distributed_join_rows_dense(mesh8):
+    """Dense windowed materialising local rung (round 4): per-shard
+    outputs aligned to sorted received R rows; unique-keys oracle checks
+    every emitted (r_rid, s_rid) pair joins equal keys and every R row
+    appears exactly once."""
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    r = gen.fill_unique(n, jax.random.key(26))
+    s = gen.fill_unique(n, jax.random.key(27))
+    run = make_distributed_join(mesh8, per, per, CFG,
+                                materialize_dense=True)
+    rows = run(r, s)
+    assert np.asarray(rows.ok).all()
+    cnt = np.asarray(rows.counts)
+    assert int(cnt.sum()) == n
+    m = cnt == 1
+    rr = np.asarray(rows.r_rids)[m]
+    sr = np.asarray(rows.s_rids)[m]
+    assert m.sum() == n and len(set(rr.tolist())) == n
+    rk = np.asarray(r.keys)
+    sk = np.asarray(s.keys)
+    np.testing.assert_array_equal(rk[rr], sk[sr])
+
+
+def test_distributed_join_rows_dense_multi_flips_ok(mesh8):
+    # duplicate R keys make some R rows multi-match: counts stay exact
+    # but s_rids are rid-sums, so ok must flip (escalate to max_out form)
+    n_dev = 8
+    per = 1024
+    n = per * n_dev
+    rk = np.concatenate([np.arange(n // 2, dtype=np.uint32)] * 2)
+    sk = np.random.default_rng(28).permutation(n // 2).astype(np.uint32)
+    sk = np.concatenate([sk, sk])          # each S key twice as well
+    r = make_relation(rk, np.arange(n, dtype=np.uint32))
+    s = make_relation(sk, np.arange(n, dtype=np.uint32))
+    run = make_distributed_join(mesh8, per, per, CFG,
+                                materialize_dense=True)
+    rows = run(r, s)
+    assert not np.asarray(rows.ok).all()
+    # counts remain exact: 2 matches per R row
+    assert int(np.asarray(rows.counts).sum()) == 2 * n
