@@ -511,18 +511,35 @@ def run_northstar_skew_config(n: int, reps: int, meas):
     limit.  Oracle: R dense-unique over [0, n), S Zipf keys within
     [0, n) => matches == n exactly.
     """
-    from radixjoin_tpu.engine.large import (join_count_keys_skew_runs,
+    from radixjoin_tpu.engine.large import (join_count_keys_skew_hashed,
+                                            join_count_keys_skew_runs,
                                             gen_unique_keys_run,
                                             gen_zipf_keys_run)
-    runs = max(1, n >> 28)
+    runs = max(1, n >> 27)
     rsrc = gen_unique_keys_run(n, 2654435761 | 1)
     ssrc = gen_zipf_keys_run(n, domain=n, theta=1.05, seed=1235)
     got = None
+
+    def one():
+        # linear relabel-hashed path (round 4); ok=False (a range slice
+        # over capacity) falls back to the quadratic pair decomposition
+        got, ok = join_count_keys_skew_hashed(
+            rsrc, ssrc, runs, runs, n, n, n_ranges=max(4, runs * 2),
+            sync=_sync)
+        if not ok:
+            print("hashed skew path overflowed a range slice; "
+                  "falling back to pair decomposition", file=sys.stderr)
+            got, ok = join_count_keys_skew_runs(
+                rsrc, ssrc, max(1, n >> 28), max(1, n >> 28), n, n,
+                sync=_sync)
+        assert ok and got == n, f"oracle mismatch: {got} != {n}"
+        return got
+
+    with meas.phase("COMPILE"):
+        got = one()
     with meas.phase("JOIN", tuples=2 * n * reps):
         for _ in range(reps):
-            got, ok = join_count_keys_skew_runs(
-                rsrc, ssrc, runs, runs, n, n, sync=_sync)
-            assert ok and got == n, f"oracle mismatch: {got} != {n}"
+            got = one()
     return got
 
 

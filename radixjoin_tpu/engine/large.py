@@ -827,6 +827,189 @@ def join64_count_keys_runs(r_source, s_source,
     return total, True
 
 
+_RELABEL_MULT = 0x9E3779B1            # odd: equality-preserving bijection
+_RELABEL_INV = pow(_RELABEL_MULT, -1, 1 << 32)
+# raw keys whose relabeled image collides with the two padding sentinels —
+# always routed through the exact heavy-key machinery so the light domain
+# never contains 0xFFFFFFFF/0xFFFFFFFE after relabeling
+_SENT_PREIMAGES = ((0xFFFFFFFF * _RELABEL_INV) % (1 << 32),
+                   (0xFFFFFFFE * _RELABEL_INV) % (1 << 32))
+
+
+def join_count_keys_skew_hashed(r_source, s_source,
+                                r_runs: int, s_runs: int,
+                                n_r_total: int, n_s_total: int,
+                                n_ranges: int = 16,
+                                max_heavy_per_run: int = 8,
+                                prng_seed: int = 0,
+                                cap_slack: float = 1.15,
+                                sync=None):
+    """Skew-aware exact count join, LINEAR in partition count (round 4).
+
+    The pair-decomposed mergecount (:func:`join_count_keys_skew_runs`)
+    re-sorts every (R-run, S-run) pair: total sort work is
+    r_runs * s_runs * (nr + ns) — quadratic in the run count, ~48 s of
+    the 62 s 1B Zipf config.  Value-range partitioning (the linear
+    trick) fails for skewed data only because Zipf mass concentrates in
+    key-value space; a multiplicative BIJECTION ``k' = k * H mod 2^32``
+    preserves key equality while spreading any distribution uniformly
+    over the relabeled domain.  So:
+
+      1. heavy keys detected + counted exactly (closed-form products,
+         the existing machinery); the two sentinel preimages are always
+         treated as heavy so no light key relabels onto a padding
+         sentinel,
+      2. each run is relabeled, heavy-masked to sentinels, and sorted
+         ONCE (runs sorts instead of runs^2 pair sorts),
+      3. per relabeled RANGE, each run's contribution is a CONTIGUOUS
+         slice of its sorted array (dynamic-slice copies, never
+         gathers); per-range mergecount over the sentinel-padded
+         concatenation is exact under arbitrary duplicate structure,
+      4. totals recombine from 15/15-bit partials + heavy products in
+         host int64.
+
+    A (run, range) slice exceeding the padded capacity flips ok; the
+    caller falls back to the quadratic path (correctness never rests on
+    the balance estimate).  Returns (matches, ok).
+    """
+    from ..ops import skew as skew_ops
+    from ..ops.buildprobe import _merged_partials, _PARTIAL_BLOCK
+    sync = sync or (lambda x: None)
+    assert n_r_total % r_runs == 0 and n_s_total % s_runs == 0
+    nr = n_r_total // r_runs
+    ns = n_s_total // s_runs
+
+    # ---- phase 0: heavy detection (sampled) + exact counts ----
+    def _detect_all():
+        hks, hvs = [], []
+        base = jax.random.key(prng_seed)
+        fold = 0
+        for src, runs in ((r_source, r_runs), (s_source, s_runs)):
+            for i in range(runs):
+                k = src(i, runs)
+                fold += 1
+                win = 1 << 16
+                if k.shape[0] > win:
+                    off = ((i * 2654435761) % (k.shape[0] - win)) & ~127
+                    k = jax.lax.slice_in_dim(k, off, off + win)
+                hh = skew_ops.detect_heavy_keys(
+                    k, jax.random.fold_in(base, fold), max_heavy_per_run)
+                hks.append(hh.keys)
+                hvs.append(hh.valid)
+        # sentinel preimages ride as always-valid candidates
+        hks.append(jnp.asarray(np.array(_SENT_PREIMAGES, np.uint32)))
+        hvs.append(jnp.ones((2,), bool))
+        hh = skew_ops.dedup_heavy(skew_ops.HeavyHitters(
+            jnp.concatenate(hks), jnp.concatenate(hvs)))
+        sync(hh.keys)
+        return hh
+
+    hh = _detect_all()
+
+    # ---- phase 1: per run, ONE generation and ONE [K, N] compare pass
+    # feeding both the exact heavy counts (sum over rows) and the
+    # relabel mask (any over rows), then the run sort ----
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _relabel_sort_count(keys, hk, hv, sentinel):
+        eq = (keys[None, :] == hk[:, None]) & hv[:, None]
+        hcnt = jnp.sum(eq, axis=1, dtype=jnp.int32)
+        m = jnp.any(eq, axis=0)
+        rel = keys * jnp.uint32(_RELABEL_MULT)
+        return jax.lax.sort(jnp.where(m, sentinel, rel),
+                            is_stable=False), hcnt
+
+    span = (1 << 32) // n_ranges
+    bounds_vals = jnp.asarray(
+        np.minimum(np.arange(n_ranges + 1, dtype=np.int64) * span,
+                   0xFFFFFFFE).astype(np.uint32))
+
+    @jax.jit
+    def _bounds_of(sorted_run):
+        return jnp.searchsorted(sorted_run, bounds_vals).astype(jnp.int32)
+
+    cap_r = int(-(-int(nr / n_ranges * cap_slack) // 128) * 128)
+    cap_s = int(-(-int(ns / n_ranges * cap_slack) // 128) * 128)
+
+    def _build_side(src, runs, sentinel, cap):
+        # per-run sorted arrays as a LIST (one 4 GB array per side would
+        # pay a full-copy transient per functional update — this backend
+        # ignores donation across dispatches).  Each run carries ``cap``
+        # trailing sentinels so phase 2's fixed-size dynamic slices never
+        # clamp (a clamped start would shift earlier-range elements under
+        # the validity mask).
+        pad = jnp.full((cap,), jnp.uint32(sentinel))
+        sorted_runs, bnds = [], []
+        hcnt = jnp.zeros((hh.keys.shape[0],), jnp.int32)
+        for i in range(runs):
+            srt, hc = _relabel_sort_count(src(i, runs), hh.keys, hh.valid,
+                                          jnp.uint32(sentinel))
+            hcnt = hcnt + hc
+            bnds.append(_bounds_of(srt))
+            srt = jnp.concatenate([srt, pad])
+            sync(srt)
+            sorted_runs.append(srt)
+        # list[[per+cap]], [runs, R+1], int32[K]
+        return sorted_runs, jnp.stack(bnds), hcnt
+
+    r_sorted, r_bounds, cr = _build_side(r_source, r_runs, 0xFFFFFFFF,
+                                         cap_r)
+    s_sorted, s_bounds, cs = _build_side(s_source, s_runs, 0xFFFFFFFE,
+                                         cap_s)
+    cr_h = np.asarray(jax.device_get(cr)).astype(np.int64)
+    cs_h = np.asarray(jax.device_get(cs)).astype(np.int64)
+    heavy_total = int(np.sum(cr_h * cs_h))
+
+    # ---- phase 2: per-range slice assembly + mergecount, one jit ----
+    concat_r = r_runs * cap_r
+    concat_s = s_runs * cap_s
+    nb = -(-(concat_r + concat_s) // _PARTIAL_BLOCK)
+
+    @jax.jit
+    def _ranges_all(r_sorted, r_bounds, s_sorted, s_bounds):
+        def body(rg, carry):
+            lo_a, hi_a, oks = carry
+
+            def side_concat(sorted_runs, bounds, cap, sentinel):
+                # each run's range-rg contribution is a CONTIGUOUS slice
+                # of its sorted array: dynamic-slice copies, no gathers
+                slot = jnp.arange(cap, dtype=jnp.int32)
+                parts = []
+                ok = jnp.bool_(True)
+                for run, arr in enumerate(sorted_runs):
+                    start = jax.lax.dynamic_index_in_dim(
+                        bounds[run], rg, 0, keepdims=False)
+                    end = jax.lax.dynamic_index_in_dim(
+                        bounds[run], rg + 1, 0, keepdims=False)
+                    size = end - start
+                    ok = ok & (size <= cap)
+                    sl = jax.lax.dynamic_slice_in_dim(arr, start, cap)
+                    parts.append(jnp.where(slot < size, sl,
+                                           jnp.uint32(sentinel)))
+                return jnp.concatenate(parts), ok
+
+            rr, ok_r = side_concat(r_sorted, r_bounds, cap_r, 0xFFFFFFFF)
+            ss, ok_s = side_concat(s_sorted, s_bounds, cap_s, 0xFFFFFFFE)
+            lo, hi = _merged_partials(rr, ss)
+            ok_k = (ok_r & ok_s).astype(jnp.int32)
+            return (jax.lax.dynamic_update_slice_in_dim(
+                        lo_a, lo[None, :], rg, 0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        hi_a, hi[None, :], rg, 0),
+                    jax.lax.dynamic_update_index_in_dim(oks, ok_k, rg, 0))
+
+        return jax.lax.fori_loop(
+            0, n_ranges, body,
+            (jnp.zeros((n_ranges, nb), jnp.int32),
+             jnp.zeros((n_ranges, nb), jnp.int32),
+             jnp.zeros((n_ranges,), jnp.int32)))
+
+    lo_a, hi_a, oks = _ranges_all(r_sorted, r_bounds, s_sorted, s_bounds)
+    lo_h = np.asarray(jax.device_get(lo_a), np.int64).sum()
+    hi_h = np.asarray(jax.device_get(hi_a), np.int64).sum()
+    ok = bool((np.asarray(jax.device_get(oks)) == 1).all())
+    return int(lo_h + (hi_h << 15)) + heavy_total, ok
+
+
 def join_count_keys_skew_runs(r_source, s_source,
                               r_runs: int, s_runs: int,
                               n_r_total: int, n_s_total: int,

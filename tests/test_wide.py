@@ -377,3 +377,42 @@ def test_ranged_fused_arrays_checked_escalates():
         join_count_keys_ranged_fused_arrays_checked(
             jnp.asarray(rk), jnp.asarray(rng.permutation(sk)), runs,
             domain, k_drift=8, rows_per_group=8, blocked=False)
+
+
+def test_skew_hashed_vs_oracle():
+    """Relabel-hashed linear skew join (round 4): exact on heavy-skewed
+    data vs the numpy oracle, with heavy keys + sentinel preimages routed
+    through the closed-form product."""
+    import jax.numpy as jnp
+    from radixjoin_tpu.engine.large import (join_count_keys_skew_hashed,
+                                            _SENT_PREIMAGES)
+    rng = np.random.default_rng(90)
+    n = 1 << 13
+    # heavy key 7 on both sides + mid-tail dups + a sentinel preimage
+    rk = rng.integers(0, 3000, n, dtype=np.uint32)
+    sk = rng.integers(0, 3000, n, dtype=np.uint32)
+    rk[: n // 8] = 7
+    sk[: n // 4] = 7
+    rk[n // 8: n // 8 + 50] = np.uint32(_SENT_PREIMAGES[0])
+    sk[n // 4: n // 4 + 30] = np.uint32(_SENT_PREIMAGES[0])
+    rng.shuffle(rk)
+    rng.shuffle(sk)
+    r_u, r_c = np.unique(rk, return_counts=True)
+    s_u, s_c = np.unique(sk, return_counts=True)
+    _, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
+    want = int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))
+
+    def src(a):
+        def f(run, n_runs):
+            per = a.shape[0] // n_runs
+            return jnp.asarray(a[run * per:(run + 1) * per])
+        return f
+
+    got, ok = join_count_keys_skew_hashed(src(rk), src(sk), 2, 2, n, n,
+                                          n_ranges=4)
+    assert ok and got == want, (got, want, ok)
+
+    # a too-small capacity must flip ok (fallback contract), not miscount
+    got2, ok2 = join_count_keys_skew_hashed(src(rk), src(sk), 2, 2, n, n,
+                                            n_ranges=4, cap_slack=0.02)
+    assert not ok2
