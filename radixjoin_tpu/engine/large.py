@@ -880,12 +880,17 @@ def join_count_keys_skew_hashed(r_source, s_source,
     ns = n_s_total // s_runs
 
     # ---- phase 0: heavy detection (sampled) + exact counts ----
+    # Runs are iid sample slices, so a GLOBALLY heavy key is heavy in
+    # every run: sampling windows from 2 runs per side routes the same
+    # keys as sampling all of them, and saves runs-2 generator passes
+    # per side (the Zipf inverse-CDF's float pow is a real cost at 2^27).
+    # Detection only ROUTES work — both routes are exact.
     def _detect_all():
         hks, hvs = [], []
         base = jax.random.key(prng_seed)
         fold = 0
         for src, runs in ((r_source, r_runs), (s_source, s_runs)):
-            for i in range(runs):
+            for i in range(min(runs, 2)):
                 k = src(i, runs)
                 fold += 1
                 win = 1 << 16
@@ -893,7 +898,8 @@ def join_count_keys_skew_hashed(r_source, s_source,
                     off = ((i * 2654435761) % (k.shape[0] - win)) & ~127
                     k = jax.lax.slice_in_dim(k, off, off + win)
                 hh = skew_ops.detect_heavy_keys(
-                    k, jax.random.fold_in(base, fold), max_heavy_per_run)
+                    k, jax.random.fold_in(base, fold),
+                    max_heavy_per_run * max(1, runs // 2))
                 hks.append(hh.keys)
                 hvs.append(hh.valid)
         # sentinel preimages ride as always-valid candidates
