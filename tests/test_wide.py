@@ -416,3 +416,29 @@ def test_skew_hashed_vs_oracle():
     got2, ok2 = join_count_keys_skew_hashed(src(rk), src(sk), 2, 2, n, n,
                                             n_ranges=4, cap_slack=0.02)
     assert not ok2
+
+
+def test_skew_hashed_asymmetric_runs():
+    # r_runs != s_runs, different side sizes, more ranges than runs
+    import jax.numpy as jnp
+    from radixjoin_tpu.engine.large import join_count_keys_skew_hashed
+    rng = np.random.default_rng(91)
+    n_r, n_s = 1 << 12, 1 << 13
+    rk = rng.integers(0, 1500, n_r, dtype=np.uint32)
+    sk = rng.integers(0, 1500, n_s, dtype=np.uint32)
+    sk[: n_s // 3] = 42
+    rng.shuffle(sk)
+    r_u, r_c = np.unique(rk, return_counts=True)
+    s_u, s_c = np.unique(sk, return_counts=True)
+    _, ri, si = np.intersect1d(r_u, s_u, return_indices=True)
+    want = int(np.sum(r_c[ri].astype(np.int64) * s_c[si].astype(np.int64)))
+
+    def src(a):
+        def f(run, n_runs):
+            per = a.shape[0] // n_runs
+            return jnp.asarray(a[run * per:(run + 1) * per])
+        return f
+
+    got, ok = join_count_keys_skew_hashed(src(rk), src(sk), 2, 4,
+                                          n_r, n_s, n_ranges=8)
+    assert ok and got == want, (got, want, ok)
