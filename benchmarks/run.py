@@ -131,8 +131,9 @@ def run_distributed_1dev_config(n: int, reps: int, meas, cfg,
     exercised at real size on real hardware.
 
     Also runs the MATERIALISING variant (row triples, reference `probe`
-    kernels.cu:199-246) at ``mat_logn`` (default n/4: its gather-based
-    output assembly is the measured-slowest op class on this chip).
+    kernels.cu:199-246) at ``mat_logn`` (default n/16 — ``n.bit_length()
+    - 5`` below: its gather-based output assembly is the measured-slowest
+    op class on this chip).
     """
     from jax.sharding import Mesh
     from radixjoin_tpu.data import relation as gen

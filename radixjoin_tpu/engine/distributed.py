@@ -393,6 +393,353 @@ class DistributedJoinRowsDense(NamedTuple):
     ok: jnp.ndarray       # bool[D]
 
 
+_DOMAIN_END = 0xFFFFFFF0      # key domain is [0, 2^32 - 16); top 16 = pads
+
+
+class DistributedRangedResult(NamedTuple):
+    """Output of :func:`make_distributed_join_ranged` — per-shard merged
+    15/15-bit partials per local sub-range (overflow-free int32 blocks,
+    recombined host-side in int64), plus the validity surface."""
+    merged_lo: jnp.ndarray   # int32[D, B, NB]
+    merged_hi: jnp.ndarray   # int32[D, B, NB]
+    range_ok: jnp.ndarray    # int32[D, B]   per-sub-range capacity ok
+    ok: jnp.ndarray          # bool[D]       all-written + no overflow
+    heavy_cr: jnp.ndarray    # int32[D, K]   owner-masked heavy R freqs
+    heavy_cs: jnp.ndarray    # int32[D, K]
+
+
+def total_distributed_matches_ranged(res: DistributedRangedResult) -> int:
+    heavy = np.sum(_fetch(res.heavy_cr).astype(np.int64)
+                   * _fetch(res.heavy_cs).astype(np.int64))
+    merged = (np.sum(_fetch(res.merged_lo).astype(np.int64))
+              + (np.sum(_fetch(res.merged_hi).astype(np.int64)) << 15))
+    return int(merged + heavy)
+
+
+def ranged_ok(res: DistributedRangedResult) -> bool:
+    return bool(np.all(_fetch(res.ok))
+                and np.all(_fetch(res.range_ok) == 1))
+
+
+def make_distributed_join_ranged(mesh: Mesh, n_r_shard: int, n_s_shard: int,
+                                 cfg: JoinConfig = DEFAULT_CONFIG,
+                                 local_ranges: int = 64,
+                                 send_chunks: int = 1,
+                                 range_slack: float = 1.35,
+                                 skew_aware: bool = False):
+    """RANGE-partitioned fused distributed count join (round 5).
+
+    The round-4 4-phase path radix-partitions on low key bits and then
+    flat-sorts the whole received shard for the local diagonal probe —
+    at 2^27/shard that sort runs in XLA's 1.85 ns/elem regime and is
+    ~90% of the distributed wall (VERDICT r4 weak #2).  This variant
+    applies the fused ranged-runs lessons (engine/large.py) to the whole
+    distributed pipeline:
+
+      * the network partition becomes a VALUE-RANGE partition on the
+        high key bits with BLOCK ownership (device d owns the d-th
+        contiguous slice of the key domain) — the reference's radix
+        choice (key & 31, histograms/LocalHistogram.cpp:44-47) is
+        hash-vs-range only; range keeps every per-device slice
+        CONTIGUOUS in sorted order, which is what the fused local rung
+        feeds on,
+      * the send side sorts ``send_chunks`` position-slices of its shard
+        independently (small-operand sorts run at ~0.8 ns/elem inside a
+        fused executable vs 1.85 flat — the round-4 size-curve
+        measurement), and every per-destination segment is then a
+        CONTIGUOUS dynamic-slice of a sorted chunk (the round-4
+        gather-free send rule),
+      * the receiver gets n_dev*send_chunks sorted sub-segments; the
+        local rung is ONE fori_loop executable over ``local_ranges``
+        sub-ranges of its owned slice, assembling each sub-range from
+        per-segment dynamic slices (searchsorted bounds) and counting
+        with the overflow-free mergecount partials — exact under
+        arbitrary duplicate structure, no flat receive sort at all.
+
+    Keys are RELABELED by the equality-preserving multiplicative
+    bijection k' = k * 0x9E3779B1 mod 2^32 before range routing (the
+    round-4 skew-hashed trick, engine/large.py): any key distribution —
+    including the engine's dense [0, n) benchmark keys, which would
+    otherwise all land on device 0 — spreads uniformly over the
+    relabeled domain, making this hash partitioning with per-device
+    CONTIGUITY.  The 16 keys whose relabeled image falls in the
+    sentinel zone [2^32-16, 2^32) are counted exactly through the
+    heavy-key closed-form path and never shuffled.
+
+    Validity travels as ORDER, not masks: segment tails are padded with
+    side-distinct out-of-domain sentinels (R 0xFFFFFFFF, S 0xFFFFFFFE)
+    that keep segments sorted and can never cross-match, so the wire
+    carries keys only (the reference ships 8 B CompressedTuples for the
+    same reason, NetworkPartitioning.cpp:128-129).  The all-written
+    invariant (data/Window.cpp:180-191) is checked from psum'd send
+    counts vs per-segment searchsorted totals, including the
+    nothing-out-of-range condition.
+
+    ``skew_aware`` runs the same phase-0 heavy-hitter pre-pass as
+    :func:`make_distributed_join` — with range partitioning a heavy key
+    is a hotspot for its owner device, so dropping heavy keys before the
+    shuffle matters MORE here than for the radix path.
+
+    Count-only (keys cross the wire).  Returns fn(r, s) ->
+    :class:`DistributedRangedResult`; total via
+    :func:`total_distributed_matches_ranged`; any range_ok==0 means a
+    sub-range capacity overflowed — escalate (see
+    make_distributed_join_ranged_checked).
+    """
+    from ..config import next_multiple
+    from ..ops.buildprobe import _PARTIAL_BLOCK
+
+    axis = cfg.mesh_axis
+    n_dev = mesh.devices.size
+    C = send_chunks
+    B = local_ranges
+    assert B >= 2, "local_ranges >= 2 (sub-edge arithmetic is uint32)"
+    assert n_r_shard % C == 0 and n_s_shard % C == 0
+    chunk_r = n_r_shard // C
+    chunk_s = n_s_shard // C
+
+    def chunk_cap(chunk):
+        if n_dev == 1:
+            return next_multiple(chunk, 128)
+        import math
+        return next_multiple(
+            math.ceil(chunk / n_dev * cfg.allocation_factor), 128)
+
+    cap_cr = chunk_cap(chunk_r)
+    cap_cs = chunk_cap(chunk_s)
+    n_seg = n_dev * C
+
+    def sub_cap(chunk, cap_c):
+        import math
+        mean = max(1, math.ceil(chunk / (n_dev * B)))
+        return min(next_multiple(math.ceil(mean * range_slack), 128),
+                   next_multiple(cap_c, 128))
+
+    cap_sr = sub_cap(chunk_r, cap_cr)
+    cap_ss = sub_cap(chunk_s, cap_cs)
+    nb = -(-(n_seg * (cap_sr + cap_ss)) // _PARTIAL_BLOCK)
+
+    # static device range edges over the key domain (block assignment:
+    # the ranged mirror of AssignmentMap's round robin)
+    span = (1 << 32) // n_dev
+    edges_np = np.minimum(np.arange(n_dev + 1, dtype=np.int64) * span,
+                          _DOMAIN_END).astype(np.uint32)
+    edges_np[n_dev] = np.uint32(_DOMAIN_END)
+    dev_edges = jnp.asarray(edges_np)
+
+    k_half = max(8, cfg.max_heavy_keys // (2 * n_dev))
+    # the 16 sentinel-zone preimages ride as always-valid heavy keys so
+    # no real key relabels into [DOMAIN_END, 2^32) — mirror of
+    # engine/large._SENT_PREIMAGES, widened to the whole pad zone
+    _inv = pow(0x9E3779B1, -1, 1 << 32)
+    preimgs_np = np.array(
+        [((_DOMAIN_END + i) * _inv) % (1 << 32) for i in range(16)],
+        np.uint32)
+    k_cand = (2 * k_half * n_dev + 16) if skew_aware else 16
+
+    def shard_fn(rk, sk):
+        my = jax.lax.axis_index(axis)
+
+        # ---- phase 0: heavy-hitter pre-pass (always runs with at least
+        # the sentinel-zone preimages; full sampled detection when
+        # skew_aware) ----
+        fixed = skew_ops.HeavyHitters(jnp.asarray(preimgs_np),
+                                      jnp.ones((16,), bool))
+        if skew_aware:
+            key = jax.random.fold_in(jax.random.key(0), my)
+            kr, ks = jax.random.split(key)
+            hh_r = skew_ops.detect_heavy_keys(rk, kr, k_half)
+            hh_s = skew_ops.detect_heavy_keys(sk, ks, k_half)
+            cand_keys = jax.lax.all_gather(
+                jnp.concatenate([hh_r.keys, hh_s.keys]), axis).reshape(-1)
+            cand_valid = jax.lax.all_gather(
+                jnp.concatenate([hh_r.valid, hh_s.valid]), axis).reshape(-1)
+            hh = skew_ops.dedup_heavy(skew_ops.HeavyHitters(
+                jnp.concatenate([cand_keys, fixed.keys]),
+                jnp.concatenate([cand_valid, fixed.valid])))
+        else:
+            hh = fixed
+        cr = jax.lax.psum(skew_ops.count_exact(rk, hh), axis)
+        heavy_cs = jax.lax.psum(skew_ops.count_exact(sk, hh), axis)
+        owner = (jnp.arange(k_cand, dtype=jnp.int32) % jnp.int32(n_dev))
+        heavy_cr = jnp.where(owner == my, cr, 0)
+        # heavy rows -> own-side sentinel (never sent); everything else
+        # relabels through the spreading bijection
+        rk = jnp.where(skew_ops.heavy_mask(rk, hh),
+                       jnp.uint32(0xFFFFFFFF),
+                       rk * jnp.uint32(0x9E3779B1))
+        sk = jnp.where(skew_ops.heavy_mask(sk, hh),
+                       jnp.uint32(0xFFFFFFFE),
+                       sk * jnp.uint32(0x9E3779B1))
+
+        # ---- phases 1+3: chunk-sorted ranged send + all_to_all ----
+        def ranged_send(keys, C_, chunk, cap_c, sentinel):
+            slot = jnp.arange(cap_c, dtype=jnp.int32)
+            per_dest = [[] for _ in range(n_dev)]
+            counts = jnp.zeros((n_dev,), jnp.int32)
+            overflow = jnp.bool_(False)
+            for c in range(C_):
+                ck = jax.lax.slice_in_dim(keys, c * chunk, (c + 1) * chunk)
+                cs_ = jax.lax.sort(ck, is_stable=False)
+                bnd = jnp.searchsorted(cs_, dev_edges).astype(jnp.int32)
+                sizes = bnd[1:] - bnd[:-1]
+                counts = counts + sizes
+                overflow = overflow | jnp.any(sizes > jnp.int32(cap_c))
+                src = jnp.concatenate(
+                    [cs_, jnp.full((cap_c,), jnp.uint32(sentinel))])
+                for d in range(n_dev):
+                    sl = jax.lax.dynamic_slice_in_dim(src, bnd[d], cap_c)
+                    per_dest[d].append(
+                        jnp.where(slot < sizes[d], sl,
+                                  jnp.uint32(sentinel)))
+            send = jnp.stack([jnp.concatenate(p) if C_ > 1 else p[0]
+                              for p in per_dest])
+            return send, counts, overflow
+
+        send_r, counts_r, ovf_r = ranged_send(rk, C, chunk_r, cap_cr,
+                                              0xFFFFFFFF)
+        send_s, counts_s, ovf_s = ranged_send(sk, C, chunk_s, cap_cs,
+                                              0xFFFFFFFE)
+        recv_r = jax.lax.all_to_all(send_r, axis, 0, 0,
+                                    tiled=False).reshape(n_seg, cap_cr)
+        recv_s = jax.lax.all_to_all(send_s, axis, 0, 0,
+                                    tiled=False).reshape(n_seg, cap_cs)
+
+        # ---- local sub-range bounds (B+2 queries: [my_lo + b*sspan],
+        # my_hi, DOMAIN_END) per received segment ----
+        # base = my * span read from the static edge table (min() never
+        # binds for real device indices); computing my*span directly
+        # would overflow uint32 at n_dev == 1 where span == 2^32.
+        base = jax.lax.dynamic_index_in_dim(dev_edges, my, 0,
+                                            keepdims=False)
+        my_hi = jax.lax.dynamic_index_in_dim(dev_edges, my + 1, 0,
+                                             keepdims=False)
+        sspan = span // B     # B >= 2 keeps (B-1)*sspan inside uint32
+        sub = base + (jnp.arange(B, dtype=jnp.uint32)
+                      * jnp.uint32(sspan))
+        queries = jnp.concatenate(
+            [sub, my_hi[None],
+             jnp.full((1,), _DOMAIN_END, jnp.uint32)])  # [B+2]
+
+        def seg_bounds(segs2d):
+            return jax.vmap(
+                lambda seg: jnp.searchsorted(seg, queries)
+                .astype(jnp.int32))(segs2d)          # [n_seg, B+2]
+
+        qb_r = seg_bounds(recv_r)
+        qb_s = seg_bounds(recv_s)
+
+        # all-written + routing invariant (Window.cpp:180-191): every
+        # tuple sent to me arrived (psum'd send counts == per-segment
+        # valid totals), nothing below my range start, nothing in
+        # [my_hi, DOMAIN_END)
+        exp_r = jax.lax.psum(counts_r, axis)
+        exp_s = jax.lax.psum(counts_s, axis)
+        my_exp_r = jax.lax.dynamic_index_in_dim(exp_r, my, 0,
+                                                keepdims=False)
+        my_exp_s = jax.lax.dynamic_index_in_dim(exp_s, my, 0,
+                                                keepdims=False)
+        ok = ((jnp.sum(qb_r[:, B + 1]) == my_exp_r)
+              & (jnp.sum(qb_s[:, B + 1]) == my_exp_s)
+              & (jnp.sum(qb_r[:, 0]) == 0) & (jnp.sum(qb_s[:, 0]) == 0)
+              & (jnp.sum(qb_r[:, B + 1] - qb_r[:, B]) == 0)
+              & (jnp.sum(qb_s[:, B + 1] - qb_s[:, B]) == 0)
+              & ~ovf_r & ~ovf_s)
+
+        # ---- phase 4: fused fori_loop over B sub-ranges ----
+        flat_r = jnp.concatenate(
+            [recv_r.reshape(-1),
+             jnp.full((cap_sr,), jnp.uint32(0xFFFFFFFF))])
+        flat_s = jnp.concatenate(
+            [recv_s.reshape(-1),
+             jnp.full((cap_ss,), jnp.uint32(0xFFFFFFFE))])
+
+        def assemble(flat, qb, cap_c, cap_sub, sentinel, rg):
+            slot = jnp.arange(cap_sub, dtype=jnp.int32)
+            parts = []
+            ok_rg = jnp.bool_(True)
+            for seg in range(n_seg):
+                start = jax.lax.dynamic_index_in_dim(qb[seg], rg, 0,
+                                                     keepdims=False)
+                end = jax.lax.dynamic_index_in_dim(qb[seg], rg + 1, 0,
+                                                   keepdims=False)
+                size = end - start
+                ok_rg = ok_rg & (size <= jnp.int32(cap_sub))
+                sl = jax.lax.dynamic_slice_in_dim(
+                    flat, seg * cap_c + start, cap_sub)
+                parts.append(jnp.where(slot < size, sl,
+                                       jnp.uint32(sentinel)))
+            return (jnp.concatenate(parts) if n_seg > 1 else parts[0],
+                    ok_rg)
+
+        def body(rg, carry):
+            lo_a, hi_a, oks = carry
+            rr, ok_r = assemble(flat_r, qb_r, cap_cr, cap_sr,
+                                0xFFFFFFFF, rg)
+            ss, ok_s = assemble(flat_s, qb_s, cap_cs, cap_ss,
+                                0xFFFFFFFE, rg)
+            lo, hi = _merged_partials(rr, ss)
+            ok_k = (ok_r & ok_s).astype(jnp.int32)
+            return (jax.lax.dynamic_update_slice_in_dim(
+                        lo_a, lo[None, :], rg, 0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        hi_a, hi[None, :], rg, 0),
+                    jax.lax.dynamic_update_index_in_dim(oks, ok_k, rg, 0))
+
+        lo_a, hi_a, roks = jax.lax.fori_loop(
+            0, B, body,
+            (jnp.zeros((B, nb), jnp.int32), jnp.zeros((B, nb), jnp.int32),
+             jnp.zeros((B,), jnp.int32)))
+        return (lo_a[None], hi_a[None], roks[None], ok[None],
+                heavy_cr[None], heavy_cs[None])
+
+    sharded = NamedSharding(mesh, P(axis))
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis),) * 6, check_vma=False)
+
+    @jax.jit
+    def run(r_keys: jnp.ndarray, s_keys: jnp.ndarray):
+        rk = jax.lax.with_sharding_constraint(r_keys, sharded)
+        sk = jax.lax.with_sharding_constraint(s_keys, sharded)
+        return DistributedRangedResult(*mapped(rk, sk))
+
+    return run
+
+
+def make_distributed_join_ranged_checked(mesh: Mesh, n_r_shard: int,
+                                         n_s_shard: int,
+                                         cfg: JoinConfig = DEFAULT_CONFIG,
+                                         **kw):
+    """Escalating form of :func:`make_distributed_join_ranged`: a tripped
+    sub-range capacity or all-written flag reruns the workload through
+    the terminal radix rung (full-capacity shuffle + mergecount,
+    :func:`make_distributed_join`) — count-exact under any input.
+    Returns fn(r_keys, s_keys) -> (matches: int, escalated: bool)."""
+    fast = make_distributed_join_ranged(mesh, n_r_shard, n_s_shard, cfg,
+                                        **kw)
+    skew = kw.get("skew_aware", False)
+    terminal = None
+
+    def run(r_keys, s_keys):
+        nonlocal terminal
+        res = fast(r_keys, s_keys)
+        if ranged_ok(res):
+            return total_distributed_matches_ranged(res), False
+        if terminal is None:
+            terminal = make_distributed_join(
+                mesh, n_r_shard, n_s_shard, cfg,
+                local_probe="mergecount", full_capacity=True,
+                skew_aware=skew)
+        rids = jnp.zeros_like(r_keys)
+        res = terminal(Relation(r_keys, rids), Relation(s_keys, rids))
+        assert bool(np.all(_fetch(res.ok))), (
+            "all-written invariant failed in the terminal rung")
+        return total_distributed_matches(res), True
+
+    return run
+
+
 class DistributedJoin64Result(NamedTuple):
     """64-bit-key distributed join output (reference keys are uint64
     end-to-end, data/Tuple.h:15-22; the 32-bit path covers 4G domains)."""

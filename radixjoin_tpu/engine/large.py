@@ -463,7 +463,19 @@ def join_count_keys_ranged_fused_steady(build2d, n: int, runs: int,
                                         blocked: bool = True):
     """Steady-state fused join: probe a prepared build side
     (:func:`prepare_ranged_fused`) against freshly generated+sorted S
-    runs, one executable per pass.  Returns (matches: int, ok: bool)."""
+    runs, one executable per pass.  Returns (matches: int, ok: bool).
+
+    The caller must pass the SAME (k_drift, rows_per_group) used by
+    prepare_ranged_fused — the build rows' sentinel-pad geometry depends
+    on both; the assert below turns a mismatch into a named error
+    instead of an opaque shape failure deep in probe_count_diagonal."""
+    from ..ops.buildprobe import _diag_geometry
+    nr = n // runs
+    *_, n_r_pad, _ = _diag_geometry(nr, nr, k_drift, rows_per_group, None)
+    assert build2d.shape == (runs, n_r_pad), (
+        f"build2d shape {build2d.shape} != ({runs}, {n_r_pad}): was "
+        "prepare_ranged_fused called with the same (k_drift, "
+        "rows_per_group)?")
     counts, oks = _ranged_fused_steady(build2d, n, runs, s_mult,
                                        k_drift, rows_per_group, blocked)
     counts = np.asarray(jax.device_get(counts), dtype=np.int64)
@@ -836,6 +848,83 @@ _SENT_PREIMAGES = ((0xFFFFFFFF * _RELABEL_INV) % (1 << 32),
                    (0xFFFFFFFE * _RELABEL_INV) % (1 << 32))
 
 
+# --- module-level jitted helpers of join_count_keys_skew_hashed ---------
+# These were originally closures defined inside the join function; a
+# fresh function object per call meant a full retrace + relay
+# compile-cache round-trip EVERY REP — measured as ~25-30 s/rep of
+# "unattributed" time at the 1B scale (logs/r5_skewattr30.log: _ranges_all
+# alone compiles in 26 s but runs warm in 10 s).  Module scope makes the
+# jit cache hit across reps.
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnames=("sentinel",))
+def _skh_relabel_sort_count(keys, hk, hv, sentinel: int):
+    """One [K, N] compare pass feeding exact heavy counts AND the relabel
+    mask, then the run sort (heavy rows -> sentinel, sorted to the tail)."""
+    eq = (keys[None, :] == hk[:, None]) & hv[:, None]
+    hcnt = jnp.sum(eq, axis=1, dtype=jnp.int32)
+    m = jnp.any(eq, axis=0)
+    rel = keys * jnp.uint32(_RELABEL_MULT)
+    return jax.lax.sort(jnp.where(m, jnp.uint32(sentinel), rel),
+                        is_stable=False), hcnt
+
+
+@functools.partial(jax.jit, static_argnames=("n_ranges",))
+def _skh_bounds_of(sorted_run, n_ranges: int):
+    span = (1 << 32) // n_ranges
+    bounds_vals = jnp.asarray(
+        np.minimum(np.arange(n_ranges + 1, dtype=np.int64) * span,
+                   0xFFFFFFFE).astype(np.uint32))
+    return jnp.searchsorted(sorted_run, bounds_vals).astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_ranges", "cap_r", "cap_s"))
+def _skh_ranges_all(r_sorted, r_bounds, s_sorted, s_bounds,
+                    n_ranges: int, cap_r: int, cap_s: int):
+    """Per-range slice assembly + mergecount partials, one executable
+    (fori_loop over ranges; each run's range-rg contribution is a
+    CONTIGUOUS dynamic-slice of its sorted array — no gathers)."""
+    from ..ops.buildprobe import _merged_partials, _PARTIAL_BLOCK
+    concat = len(r_sorted) * cap_r + len(s_sorted) * cap_s
+    nb = -(-concat // _PARTIAL_BLOCK)
+
+    def body(rg, carry):
+        lo_a, hi_a, oks = carry
+
+        def side_concat(sorted_runs, bounds, cap, sentinel):
+            slot = jnp.arange(cap, dtype=jnp.int32)
+            parts = []
+            ok = jnp.bool_(True)
+            for run, arr in enumerate(sorted_runs):
+                start = jax.lax.dynamic_index_in_dim(
+                    bounds[run], rg, 0, keepdims=False)
+                end = jax.lax.dynamic_index_in_dim(
+                    bounds[run], rg + 1, 0, keepdims=False)
+                size = end - start
+                ok = ok & (size <= cap)
+                sl = jax.lax.dynamic_slice_in_dim(arr, start, cap)
+                parts.append(jnp.where(slot < size, sl,
+                                       jnp.uint32(sentinel)))
+            return jnp.concatenate(parts), ok
+
+        rr, ok_r = side_concat(r_sorted, r_bounds, cap_r, 0xFFFFFFFF)
+        ss, ok_s = side_concat(s_sorted, s_bounds, cap_s, 0xFFFFFFFE)
+        lo, hi = _merged_partials(rr, ss)
+        ok_k = (ok_r & ok_s).astype(jnp.int32)
+        return (jax.lax.dynamic_update_slice_in_dim(
+                    lo_a, lo[None, :], rg, 0),
+                jax.lax.dynamic_update_slice_in_dim(
+                    hi_a, hi[None, :], rg, 0),
+                jax.lax.dynamic_update_index_in_dim(oks, ok_k, rg, 0))
+
+    return jax.lax.fori_loop(
+        0, n_ranges, body,
+        (jnp.zeros((n_ranges, nb), jnp.int32),
+         jnp.zeros((n_ranges, nb), jnp.int32),
+         jnp.zeros((n_ranges,), jnp.int32)))
+
+
 def join_count_keys_skew_hashed(r_source, s_source,
                                 r_runs: int, s_runs: int,
                                 n_r_total: int, n_s_total: int,
@@ -871,9 +960,16 @@ def join_count_keys_skew_hashed(r_source, s_source,
     A (run, range) slice exceeding the padded capacity flips ok; the
     caller falls back to the quadratic path (correctness never rests on
     the balance estimate).  Returns (matches, ok).
+
+    PRECONDITION (detection quality only, not correctness): heavy-key
+    detection samples the first 2 runs per side, assuming runs are iid
+    slices of one distribution (true for the engine's generator and
+    shuffle sources).  For non-iid sources — e.g. key-ordered runs —
+    globally heavy keys can be missed; missed heavy keys degrade to the
+    ok=False capacity fallback or a slow mergecount range, never a wrong
+    count (the capacity ok flag guards exactness either way).
     """
     from ..ops import skew as skew_ops
-    from ..ops.buildprobe import _merged_partials, _PARTIAL_BLOCK
     sync = sync or (lambda x: None)
     assert n_r_total % r_runs == 0 and n_s_total % s_runs == 0
     nr = n_r_total // r_runs
@@ -914,25 +1010,9 @@ def join_count_keys_skew_hashed(r_source, s_source,
 
     # ---- phase 1: per run, ONE generation and ONE [K, N] compare pass
     # feeding both the exact heavy counts (sum over rows) and the
-    # relabel mask (any over rows), then the run sort ----
-    @functools.partial(jax.jit, donate_argnums=0)
-    def _relabel_sort_count(keys, hk, hv, sentinel):
-        eq = (keys[None, :] == hk[:, None]) & hv[:, None]
-        hcnt = jnp.sum(eq, axis=1, dtype=jnp.int32)
-        m = jnp.any(eq, axis=0)
-        rel = keys * jnp.uint32(_RELABEL_MULT)
-        return jax.lax.sort(jnp.where(m, sentinel, rel),
-                            is_stable=False), hcnt
-
-    span = (1 << 32) // n_ranges
-    bounds_vals = jnp.asarray(
-        np.minimum(np.arange(n_ranges + 1, dtype=np.int64) * span,
-                   0xFFFFFFFE).astype(np.uint32))
-
-    @jax.jit
-    def _bounds_of(sorted_run):
-        return jnp.searchsorted(sorted_run, bounds_vals).astype(jnp.int32)
-
+    # relabel mask (any over rows), then the run sort (module-level
+    # jitted helpers: see _skh_* above — rebuilding them per call cost
+    # ~25-30 s/rep in relay recompiles at the 1B scale) ----
     cap_r = int(-(-int(nr / n_ranges * cap_slack) // 128) * 128)
     cap_s = int(-(-int(ns / n_ranges * cap_slack) // 128) * 128)
 
@@ -947,10 +1027,10 @@ def join_count_keys_skew_hashed(r_source, s_source,
         sorted_runs, bnds = [], []
         hcnt = jnp.zeros((hh.keys.shape[0],), jnp.int32)
         for i in range(runs):
-            srt, hc = _relabel_sort_count(src(i, runs), hh.keys, hh.valid,
-                                          jnp.uint32(sentinel))
+            srt, hc = _skh_relabel_sort_count(src(i, runs), hh.keys,
+                                              hh.valid, sentinel=sentinel)
             hcnt = hcnt + hc
-            bnds.append(_bounds_of(srt))
+            bnds.append(_skh_bounds_of(srt, n_ranges))
             srt = jnp.concatenate([srt, pad])
             sync(srt)
             sorted_runs.append(srt)
@@ -966,50 +1046,8 @@ def join_count_keys_skew_hashed(r_source, s_source,
     heavy_total = int(np.sum(cr_h * cs_h))
 
     # ---- phase 2: per-range slice assembly + mergecount, one jit ----
-    concat_r = r_runs * cap_r
-    concat_s = s_runs * cap_s
-    nb = -(-(concat_r + concat_s) // _PARTIAL_BLOCK)
-
-    @jax.jit
-    def _ranges_all(r_sorted, r_bounds, s_sorted, s_bounds):
-        def body(rg, carry):
-            lo_a, hi_a, oks = carry
-
-            def side_concat(sorted_runs, bounds, cap, sentinel):
-                # each run's range-rg contribution is a CONTIGUOUS slice
-                # of its sorted array: dynamic-slice copies, no gathers
-                slot = jnp.arange(cap, dtype=jnp.int32)
-                parts = []
-                ok = jnp.bool_(True)
-                for run, arr in enumerate(sorted_runs):
-                    start = jax.lax.dynamic_index_in_dim(
-                        bounds[run], rg, 0, keepdims=False)
-                    end = jax.lax.dynamic_index_in_dim(
-                        bounds[run], rg + 1, 0, keepdims=False)
-                    size = end - start
-                    ok = ok & (size <= cap)
-                    sl = jax.lax.dynamic_slice_in_dim(arr, start, cap)
-                    parts.append(jnp.where(slot < size, sl,
-                                           jnp.uint32(sentinel)))
-                return jnp.concatenate(parts), ok
-
-            rr, ok_r = side_concat(r_sorted, r_bounds, cap_r, 0xFFFFFFFF)
-            ss, ok_s = side_concat(s_sorted, s_bounds, cap_s, 0xFFFFFFFE)
-            lo, hi = _merged_partials(rr, ss)
-            ok_k = (ok_r & ok_s).astype(jnp.int32)
-            return (jax.lax.dynamic_update_slice_in_dim(
-                        lo_a, lo[None, :], rg, 0),
-                    jax.lax.dynamic_update_slice_in_dim(
-                        hi_a, hi[None, :], rg, 0),
-                    jax.lax.dynamic_update_index_in_dim(oks, ok_k, rg, 0))
-
-        return jax.lax.fori_loop(
-            0, n_ranges, body,
-            (jnp.zeros((n_ranges, nb), jnp.int32),
-             jnp.zeros((n_ranges, nb), jnp.int32),
-             jnp.zeros((n_ranges,), jnp.int32)))
-
-    lo_a, hi_a, oks = _ranges_all(r_sorted, r_bounds, s_sorted, s_bounds)
+    lo_a, hi_a, oks = _skh_ranges_all(r_sorted, r_bounds, s_sorted,
+                                      s_bounds, n_ranges, cap_r, cap_s)
     lo_h = np.asarray(jax.device_get(lo_a), np.int64).sum()
     hi_h = np.asarray(jax.device_get(hi_a), np.int64).sum()
     ok = bool((np.asarray(jax.device_get(oks)) == 1).all())

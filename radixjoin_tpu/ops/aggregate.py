@@ -71,7 +71,9 @@ def aggregate_sum(keys: jnp.ndarray, values: jnp.ndarray, max_groups: int):
     exceeds 2^31 wraps (int) or loses precision (float32) — callers must
     either chunk values to stay inside int32, or use
     :func:`aggregate_sum_exact`, the 64-bit-exact plane-decomposed variant
-    with an explicit ok flag.
+    with an explicit ok flag.  Groups beyond ``max_groups`` are dropped
+    from the output slots; check the returned ``n_groups <= max_groups``
+    when every group must be present.
     """
     sk, sv = jax.lax.sort((keys, values), num_keys=1)
     # Run starts: position 0 or key differs from predecessor.
@@ -109,12 +111,14 @@ def aggregate_sum_exact(keys: jnp.ndarray, values: jnp.ndarray,
     Returns (group_keys, plane_sums int32[4, max_groups], group_counts,
     valid, n_groups, ok) — ``ok`` False iff some group has >= 2^23 rows,
     in which case plane sums may have wrapped; split the input (by value
-    chunking or key range) and re-aggregate.
+    chunking or key range) and re-aggregate.  As with
+    :func:`aggregate_sum`, groups beyond ``max_groups`` are dropped from
+    the output slots — callers must check the returned ``n_groups <=
+    max_groups`` if they need every group.
     """
     v = values.astype(jnp.uint32)
     sk, sv = jax.lax.sort((keys, v), num_keys=1)
     n = sk.shape[0]
-    assert max_groups < n, "aggregate_sum_exact: max_groups must be < n"
     prev = jnp.concatenate([sk[:1] ^ jnp.uint32(1), sk[:-1]]) \
         if sk.dtype == jnp.uint32 else jnp.concatenate([sk[:1] - 1, sk[:-1]])
     is_start = (sk != prev).at[0].set(True)
@@ -131,9 +135,20 @@ def aggregate_sum_exact(keys: jnp.ndarray, values: jnp.ndarray,
     ccnt = jnp.cumsum(jnp.ones((n,), jnp.int32))
     pos = jnp.arange(n, dtype=jnp.int32)
     a = jnp.where(is_start, pos, jnp.int32(0x7FFFFFFF))
+    key_col = sk
+    before_cols = [prev_of(c) for c in csums] + [prev_of(ccnt)]
+    if max_groups + 1 > n:
+        # the slices below read max_groups+1 leading entries (same
+        # padding branch as _group_reduce_compact: pad with non-start
+        # filler, masked by ``valid``) — so max_groups == n is legal,
+        # matching aggregate_count-style usage
+        pad = max_groups + 1 - n
+        a = jnp.concatenate([a, jnp.full((pad,), jnp.int32(0x7FFFFFFF))])
+        key_col = jnp.concatenate([key_col, jnp.zeros((pad,), sk.dtype)])
+        before_cols = [jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+                       for c in before_cols]
     sorted_ops = jax.lax.sort(
-        (a, sk, *[prev_of(c) for c in csums], prev_of(ccnt)),
-        num_keys=1, is_stable=False)
+        (a, key_col, *before_cols), num_keys=1, is_stable=False)
     skey = sorted_ops[1]
     befores = sorted_ops[2:]
     gslot = jnp.arange(max_groups, dtype=jnp.int32)

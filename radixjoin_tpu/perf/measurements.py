@@ -210,3 +210,63 @@ def trace(log_dir: str = "/tmp/radixjoin-trace"):
     replaces the reference's PAPI counters (Measurements.cpp:778-821)."""
     with jax.profiler.trace(log_dir):
         yield
+
+
+def device_module_times(log_dir: str = "/tmp/radixjoin-trace") -> dict:
+    """DEVICE-time ground truth from the newest jax.profiler trace under
+    ``log_dir``: per-XLA-executable device milliseconds (the PAPI-tier
+    answer the reference gets from hardware counters,
+    Measurements.cpp:90-107,778-821 — here per-phase *device* ms next to
+    the wall-clock ms of the Timer tier, which includes relay latency).
+
+    Parses the xplane protobuf directly (tensorflow.tsl proto — no
+    tensorboard session needed).  Returns {executable_name: ms} summed
+    over executions, from the device planes' "XLA Modules" line; falls
+    back to per-op lines summed by program if no module line exists.
+    Empty dict if no trace/device plane was captured (e.g. a backend
+    whose profiler exposes no device stream)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    if not files:
+        return {}
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:                      # pragma: no cover
+        return {}
+    xs = xplane_pb2.XSpace()
+    with open(files[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    out: dict = {}
+    for plane in xs.planes:
+        if not (plane.name.startswith("/device:")
+                or "TPU" in plane.name or "Device" in plane.name):
+            continue
+        md = plane.event_metadata
+        module_lines = [ln for ln in plane.lines
+                        if "XLA Modules" in ln.name]
+        lines = module_lines or list(plane.lines)
+        for ln in lines:
+            if not module_lines and "Step" in ln.name:
+                continue
+            for ev in ln.events:
+                name = md[ev.metadata_id].name if ev.metadata_id in md \
+                    else str(ev.metadata_id)
+                out[name] = out.get(name, 0.0) + ev.duration_ps / 1e9
+    return out
+
+
+def attribute_device_time(meas: "Measurements",
+                          log_dir: str = "/tmp/radixjoin-trace",
+                          prefix: str = "DEV_") -> dict:
+    """Fold :func:`device_module_times` into ``meas.details`` as
+    ``DEV_<executable>`` rows so the .perf artifact carries device-
+    attributed per-executable ms alongside the host wall phases."""
+    mod = device_module_times(log_dir)
+    for name, ms in sorted(mod.items(), key=lambda kv: -kv[1]):
+        st = meas.details.setdefault(prefix + name,
+                                     DetailStats(prefix + name))
+        st.seconds += ms / 1e3
+        st.calls += 1
+    return mod

@@ -342,3 +342,118 @@ def test_distributed_join_rows_dense_multi_flips_ok(mesh8):
     assert not np.asarray(rows.ok).all()
     # counts remain exact: 2 matches per R row
     assert int(np.asarray(rows.counts).sum()) == 2 * n
+
+
+# ---------------------------------------------------------------------------
+# Round-5 fused RANGED distributed join (make_distributed_join_ranged)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("workload", ["unique", "general", "dups"])
+@pytest.mark.parametrize("chunks", [1, 2])
+def test_distributed_ranged_oracle(mesh8, workload, chunks):
+    """Fused range-partitioned join vs the numpy oracle: dense unique
+    keys (all land on one device without the relabel bijection), a
+    general random workload, and a duplicate-heavy one."""
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged, total_distributed_matches_ranged,
+        ranged_ok)
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    rng = np.random.default_rng(31)
+    if workload == "unique":
+        r = gen.fill_unique(n, jax.random.key(2))
+        s = gen.fill_unique(n, jax.random.key(3))
+        rk, sk = np.asarray(r.keys), np.asarray(s.keys)
+        want = n
+    elif workload == "general":
+        rk = rng.integers(0, 50000, n, dtype=np.uint32)
+        sk = rng.integers(0, 50000, n, dtype=np.uint32)
+        want = _np_join_count(rk, sk)
+    else:
+        rk = rng.integers(0, 400, n, dtype=np.uint32)
+        sk = rng.integers(0, 400, n, dtype=np.uint32)
+        want = _np_join_count(rk, sk)
+    run = make_distributed_join_ranged(mesh8, per, per, CFG,
+                                       local_ranges=8, send_chunks=chunks)
+    res = run(jnp.asarray(rk), jnp.asarray(sk))
+    assert ranged_ok(res), "capacity should hold at these sizes"
+    assert total_distributed_matches_ranged(res) == want
+
+
+def test_distributed_ranged_sentinel_preimages(mesh8):
+    """Keys whose relabeled image lands in the sentinel zone must be
+    counted exactly through the closed-form path, never shuffled."""
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged, total_distributed_matches_ranged,
+        ranged_ok)
+    n_dev = 8
+    per = 1024
+    n = per * n_dev
+    inv = pow(0x9E3779B1, -1, 1 << 32)
+    rng = np.random.default_rng(33)
+    rk = rng.integers(0, 10**6, n, dtype=np.uint32)
+    sk = rng.integers(0, 10**6, n, dtype=np.uint32)
+    for i in range(16):      # every pad-zone preimage appears on both sides
+        p = ((0xFFFFFFF0 + i) * inv) % (1 << 32)
+        rk[i * 3:(i + 1) * 3] = p
+        sk[i * 5:(i + 1) * 5] = p
+    want = _np_join_count(rk, sk)
+    run = make_distributed_join_ranged(mesh8, per, per, CFG,
+                                       local_ranges=4, send_chunks=1)
+    res = run(jnp.asarray(rk), jnp.asarray(sk))
+    assert ranged_ok(res)
+    assert total_distributed_matches_ranged(res) == want
+
+
+def test_distributed_ranged_skew_aware(mesh8):
+    """A hot key under range partitioning hotspots its owner; the
+    skew_aware pre-pass drops it before the shuffle so capacity holds."""
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged, total_distributed_matches_ranged,
+        ranged_ok)
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    hot = n // 3
+    rng = np.random.default_rng(34)
+    rk = np.asarray(gen.fill_unique(n, jax.random.key(9)).keys)
+    sk = np.concatenate([rng.integers(0, n, n - hot, dtype=np.uint32),
+                         np.full(hot, 12345, np.uint32)])
+    rng.shuffle(sk)
+    want = _np_join_count(rk, sk)
+    run = make_distributed_join_ranged(mesh8, per, per, CFG,
+                                       local_ranges=8, send_chunks=1,
+                                       skew_aware=True)
+    res = run(jnp.asarray(rk), jnp.asarray(sk))
+    assert ranged_ok(res), "heavy pre-pass should keep capacity"
+    assert total_distributed_matches_ranged(res) == want
+
+
+def test_distributed_ranged_checked_escalates(mesh8):
+    """A sub-range capacity overflow (undetectable mid-tail dup run with
+    tight slack) must flip range_ok and the checked wrapper must recover
+    the exact count through the terminal rung."""
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged, make_distributed_join_ranged_checked,
+        ranged_ok)
+    n_dev = 8
+    per = 1024
+    n = per * n_dev
+    rng = np.random.default_rng(35)
+    # 4 keys x 2048 copies with skew_aware off: each key's whole mass
+    # lands on one (source, sub-range) slot and overflows the tight cap
+    base_keys = rng.integers(0, 2**31, n // 2048, dtype=np.uint32)
+    rk = np.repeat(base_keys, 2048)
+    sk = np.repeat(base_keys, 2048)
+    rng.shuffle(rk); rng.shuffle(sk)
+    want = _np_join_count(rk, sk)
+    kw = dict(local_ranges=8, send_chunks=1, range_slack=1.01)
+    run = make_distributed_join_ranged(mesh8, per, per, CFG, **kw)
+    res = run(jnp.asarray(rk), jnp.asarray(sk))
+    assert not ranged_ok(res), "tight slack should overflow on dup runs"
+    checked = make_distributed_join_ranged_checked(mesh8, per, per, CFG,
+                                                   **kw)
+    got, escalated = checked(jnp.asarray(rk), jnp.asarray(sk))
+    assert escalated and got == want
