@@ -211,6 +211,122 @@ def run_distributed_1dev_config(n: int, reps: int, meas, cfg,
     return got, totm
 
 
+def run_matchrate_config(n: int, reps: int, meas,
+                         m_values=(2, 4, 8), dup_extra: int = 0):
+    """Match-rate sweep (reference ``probe_match_rate`` protocol,
+    kernels.cu:314-411; ``args_t.matchRate`` data.hpp:67-90 with
+    MAX_MATCH_RATE=8, data.hpp:28): each fact row matches exactly ``m``
+    dim rows, for m in ``m_values``.  Runs the fused ranged pipeline in
+    BOTH modes per m: counting (single-plane emit — exact counts at any
+    match rate, no multi-round protocol needed) and payload aggregation
+    through the M-plane kernel with max_matches=m.  Oracle closed-form:
+    join rows == n * m; every group sums to per_key * m."""
+    from radixjoin_tpu.engine.pipeline import (
+        filter_join_aggregate_ranged_fused)
+
+    runs = max(1, n >> 22)
+    nf = n // runs
+    span = max(1024, nf // 16)
+    domain = span * runs
+    odd_d, odd_f = 2654435761 | 1, 0x9E3779B1 ^ 0x40
+    per_key = nf // span
+
+    def make_sources(m):
+        def r_source(k, n_runs):
+            i = jnp.arange(span, dtype=jnp.uint32)
+            keys = jnp.uint32(k * span) \
+                + ((i * jnp.uint32(odd_d)) & jnp.uint32(span - 1))
+            keys = jnp.tile(keys, m)
+            return keys, jnp.arange(keys.shape[0], dtype=jnp.uint32)
+
+        def s_source(k, n_runs):
+            i = jnp.arange(nf, dtype=jnp.uint32)
+            keys = jnp.uint32(k * span) \
+                + ((i * jnp.uint32(odd_f)) & jnp.uint32(span - 1))
+            return keys, i
+        return r_source, s_source
+
+    value_of = lambda rr, sr: ((rr % 7) + (sr % 5)).astype(jnp.int32)
+    for m in m_values:
+        r_source, s_source = make_sources(m)
+        want = n * m
+
+        def one(vo, mm):
+            return filter_join_aggregate_ranged_fused(
+                r_source, s_source, runs, domain, nf, span * m,
+                max_groups=span, value_of=vo, max_matches=mm,
+                max_out=(m + 1) * nf)
+
+        with meas.phase(f"COMPILE_M{m}"):
+            total, ngroups, ok = one(None, None)
+            assert ok and total == want and ngroups == span * runs, \
+                (m, total, want, ngroups)
+        with meas.phase(f"COUNT_M{m}", tuples=n * reps):
+            for _ in range(reps):
+                total, ngroups, ok = one(None, None)
+                assert ok and total == want
+        with meas.phase(f"COMPILE_PAYLOAD_M{m}"):
+            total, ngroups, ok = one(value_of, m)
+            assert ok and total == want, (m, total, want)
+        with meas.phase(f"PAYLOAD_M{m}", tuples=n * reps):
+            for _ in range(reps):
+                total, ngroups, ok = one(value_of, m)
+                assert ok and total == want
+        print(f"m={m}: rows={total} groups={ngroups} ok={ok}",
+              file=sys.stderr, flush=True)
+    return n * m_values[-1]
+
+
+def run_distributed_ranged_config(n: int, reps: int, meas, cfg,
+                                  variants=((64, 128, "diagonal", 1.15),
+                                            (64, 256, "mergecount", 1.35))):
+    """Fused RANGED distributed join at scale on the real chip (round 5,
+    VERDICT r4 item 2): the relabel-spread range partition + chunk-sorted
+    send + fori_loop local mergecount, swept over (send_chunks,
+    local_ranges) variants.  Oracle: dense unique keys both sides =>
+    matches == n.  Phase names carry the variant, e.g. JOIN_C64_B64."""
+    from jax.sharding import Mesh
+    from radixjoin_tpu.data import relation as gen
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged, total_distributed_matches_ranged,
+        ranged_ok)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("nodes",))
+    with meas.phase("GENERATE", tuples=2 * n):
+        r = gen.fill_unique(n, jax.random.key(0))
+        s = gen.fill_unique(n, jax.random.key(1))
+        _sync(r.keys); _sync(s.keys)
+
+    best = None
+    for chunks, ranges, probe, slack in variants:
+        tag = f"C{chunks}_B{ranges}_{probe[:4]}_s{int(slack*100)}"
+        run = make_distributed_join_ranged(mesh, n, n, cfg,
+                                           local_ranges=ranges,
+                                           send_chunks=chunks,
+                                           local_probe=probe,
+                                           range_slack=slack)
+        with meas.phase(f"COMPILE_{tag}"):
+            res = run(r.keys, s.keys)
+            _sync(res.merged_lo)
+        got = total_distributed_matches_ranged(res)
+        assert ranged_ok(res), f"{tag}: capacity/invariant trip"
+        assert got == n, f"{tag}: {got} != {n}"
+        t0 = time.perf_counter()
+        with meas.phase(f"JOIN_{tag}", tuples=2 * n * reps):
+            for _ in range(reps):
+                res = run(r.keys, s.keys)
+                _sync(res.merged_lo)
+        dt = (time.perf_counter() - t0) / reps
+        mtps = 2 * n / dt / 1e6
+        print(f"{tag}: {dt*1e3:.0f} ms/rep  {mtps:.1f} Mt/s",
+              file=sys.stderr, flush=True)
+        if best is None or dt < best[1]:
+            best = (tag, dt)
+        del run, res
+    print(f"best={best[0]} {2*n/best[1]/1e6:.1f} Mt/s", file=sys.stderr)
+    return n
+
+
 def run_pipeline_config(n: int, reps: int, meas):
     from radixjoin_tpu import native
     from radixjoin_tpu.data.tuples import Relation
@@ -250,9 +366,12 @@ def run_pipeline_sf100_config(n: int, reps: int, meas, dup: int = 2):
     Per run: n/runs fact rows vs (n/runs)/16 * dup dim rows; fact keys hit
     every dim key exactly (n/runs)/span times, so totals and per-group
     counting sums are closed-form (asserted on device)."""
-    from radixjoin_tpu.engine.pipeline import filter_join_aggregate_ranged_runs
+    from radixjoin_tpu.engine.pipeline import (
+        filter_join_aggregate_ranged_fused)
 
-    runs = max(1, n >> 28)
+    # sub-run size 2^22 puts every sort (fact 2-operand + the aggregate's
+    # compaction) in the small-operand regime inside the fused loop
+    runs = max(1, n >> 22)
     nf = n // runs
     span = max(1024, nf // 16)
     domain = span * runs
@@ -278,16 +397,18 @@ def run_pipeline_sf100_config(n: int, reps: int, meas, dup: int = 2):
         jnp.max(jnp.where(gv, gs, per_key * dup)),
         jnp.sum(gv.astype(jnp.int32))))
 
-    def consume_counting(k, res):
+    def consume_counting(k, gk, gs, gvalid):
         lo, hi, ng = (int(x) for x in jax.device_get(
-            check(res.group_sums, res.group_valid)))
+            check(gs, gvalid != 0)))
         assert lo == hi == per_key * dup and ng == span, (k, lo, hi, ng)
 
-    def one(value_of, consume):
-        return filter_join_aggregate_ranged_runs(
-            r_source, s_source, runs, domain, None, None,
-            max_out=4 * nf, max_groups=span, value_of=value_of,
-            consume=consume, sync=_sync)
+    def one(value_of, consume, max_matches=None):
+        # round 5: the FUSED ranged pipeline — all runs in one
+        # executable, aggregate inside the loop step (VERDICT r4 item 5)
+        return filter_join_aggregate_ranged_fused(
+            r_source, s_source, runs, domain, nf, span * dup,
+            max_groups=span, value_of=value_of, max_matches=max_matches,
+            max_out=4 * nf, consume=consume)
 
     want = n * dup
     with meas.phase("COMPILE"):
@@ -300,11 +421,11 @@ def run_pipeline_sf100_config(n: int, reps: int, meas, dup: int = 2):
 
     value_of = lambda rr, sr: ((rr % 7) + (sr % 5)).astype(jnp.int32)
     with meas.phase("COMPILE_MPLANE"):
-        total, ngroups, ok = one(value_of, None)
+        total, ngroups, ok = one(value_of, None, max_matches=dup)
         assert ok and total == want and ngroups == span * runs
     with meas.phase("PIPELINE_MPLANE", tuples=n * reps):
         for _ in range(reps):
-            total, ngroups, ok = one(value_of, None)
+            total, ngroups, ok = one(value_of, None, max_matches=dup)
             assert ok and total == want and ngroups == span * runs
     return total
 
@@ -548,7 +669,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="onechip",
                     choices=["small", "onechip", "skew", "distributed",
-                             "distributed-1dev",
+                             "distributed-1dev", "distributed-ranged", "matchrate",
                              "pipeline", "pipeline-sf100", "northstar",
                              "northstar-skew",
                              "northstar64", "northstar64-fused",
@@ -575,6 +696,8 @@ def main(argv=None):
                 "skew": 24 if on_tpu else 18,
                 "distributed": 11,
                 "distributed-1dev": 27 if on_tpu else 16,
+                "distributed-ranged": 27 if on_tpu else 16,
+                "matchrate": 24 if on_tpu else 14,
                 "pipeline": 20 if on_tpu else 16,
                 "northstar": 30 if on_tpu else 16,
                 "northstar-skew": 30 if on_tpu else 16,
@@ -598,6 +721,12 @@ def main(argv=None):
     elif args.config == "distributed-1dev":
         got, totm = run_distributed_1dev_config(n, args.reps, meas, cfg)
         print(f"matches={got} mat_rows={totm}", file=sys.stderr)
+    elif args.config == "matchrate":
+        got = run_matchrate_config(n, args.reps, meas)
+        print(f"rows={got}", file=sys.stderr)
+    elif args.config == "distributed-ranged":
+        got = run_distributed_ranged_config(n, args.reps, meas, cfg)
+        print(f"matches={got}", file=sys.stderr)
     elif args.config == "pipeline":
         got = run_pipeline_config(n, args.reps, meas)
         print(f"join_count={got}", file=sys.stderr)

@@ -129,11 +129,10 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         f"network fanout {p_net} must cover {n_dev} devices")
     assert not (materialize_max_out is not None and skew_aware), (
         "materialising join emits rows; the heavy-hitter pre-pass only "
-        "counts — combine is not supported yet")
-    assert not (materialize_dense and
-                (materialize_max_out is not None or skew_aware)), (
-        "materialize_dense is its own output form (no max_out bound) and "
-        "emits rows (no skew pre-pass)")
+        "counts — use materialize_dense, whose skew form emits heavy "
+        "rows as closed-form blocks")
+    assert not (materialize_dense and materialize_max_out is not None), (
+        "materialize_dense is its own output form (no max_out bound)")
     if full_capacity:
         from ..config import next_multiple
         cap_r = next_multiple(n_r_shard, 128)
@@ -165,7 +164,7 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         # is the distributed upgrade: it also removes the shuffle hotspot).
         heavy_cr = jnp.zeros((k_cand,), jnp.int32)
         heavy_cs = jnp.zeros((k_cand,), jnp.int32)
-        drop_r = drop_s = None
+        drop_r = drop_s = hh = None
         if skew_aware:
             my = jax.lax.axis_index(axis)
             key = jax.random.fold_in(jax.random.key(0), my)
@@ -253,8 +252,36 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                 rbk, sbk, srs,
                 rows_per_group=8 if pallas_interpret() else 32)
             row_ok = ok & win_ok & ~multi
+            if not skew_aware:
+                return (rrs.astype(jnp.uint32)[None], out_srid[None],
+                        cnt[None], row_ok[None])
+            # Skew form (round 5, reference probe_skew emits pairs,
+            # kernels_optimized.cu:364-457): heavy rows never entered
+            # the shuffle; their output is the closed-form BLOCK product
+            # per heavy key — all R rows of key k join all S rows of
+            # key k — so emitting the per-side (candidate_index, rid)
+            # lists IS the output, in O(rows) not O(rows^2).  Compaction
+            # sort (no gather): rows sort by candidate index, heavy
+            # prefix sliced at full shard capacity (overflow-free by
+            # construction).
+            def compact_heavy(keys, rids, drop):
+                eq = (keys[None, :] == hh.keys[:, None]) \
+                    & hh.valid[:, None]
+                hix = jnp.where(drop,
+                                jnp.argmax(eq, axis=0).astype(jnp.int32),
+                                jnp.int32(0x7FFFFFFF))
+                cnt_h = jnp.sum(drop.astype(jnp.int32))
+                six, srid = jax.lax.sort((hix, rids), num_keys=1,
+                                         is_stable=False)
+                return six, srid, cnt_h
+
+            hr_ix, hr_rid, hr_cnt = compact_heavy(rk, rr, drop_r)
+            hs_ix, hs_rid, hs_cnt = compact_heavy(sk, sr, drop_s)
             return (rrs.astype(jnp.uint32)[None], out_srid[None],
-                    cnt[None], row_ok[None])
+                    cnt[None], row_ok[None],
+                    hh.keys, hh.valid,
+                    hr_ix[None], hr_rid[None], hr_cnt[None],
+                    hs_ix[None], hs_rid[None], hs_cnt[None])
 
         # ---- phase 4: local processing (second radix pass + probe) ----
         # Local radix bits sit ABOVE the network bits (reference
@@ -342,7 +369,9 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
 
     sharded = NamedSharding(mesh, P(axis))
 
-    if materialize_dense:
+    if materialize_dense and skew_aware:
+        out_specs = (P(axis),) * 4 + (P(), P()) + (P(axis),) * 6
+    elif materialize_dense:
         out_specs = (P(axis),) * 4
     elif materialize_max_out is not None:
         out_specs = (P(axis),) * 6
@@ -367,6 +396,8 @@ def make_distributed_join(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         sk = jax.lax.with_sharding_constraint(s.keys, sharded)
         sr = jax.lax.with_sharding_constraint(s.rids, sharded)
         out = mapped(rk, rr, sk, sr)
+        if materialize_dense and skew_aware:
+            return DistributedJoinRowsDenseSkew(*out)
         if materialize_dense:
             return DistributedJoinRowsDense(*out)
         if materialize_max_out is not None:
@@ -426,7 +457,10 @@ def make_distributed_join_ranged(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                                  local_ranges: int = 64,
                                  send_chunks: int = 1,
                                  range_slack: float = 1.35,
-                                 skew_aware: bool = False):
+                                 skew_aware: bool = False,
+                                 local_probe: str = "mergecount",
+                                 k_drift: int = 8,
+                                 rows_per_group: int = 64):
     """RANGE-partitioned fused distributed count join (round 5).
 
     The round-4 4-phase path radix-partitions on low key bits and then
@@ -517,7 +551,11 @@ def make_distributed_join_ranged(mesh: Mesh, n_r_shard: int, n_s_shard: int,
 
     cap_sr = sub_cap(chunk_r, cap_cr)
     cap_ss = sub_cap(chunk_s, cap_cs)
-    nb = -(-(n_seg * (cap_sr + cap_ss)) // _PARTIAL_BLOCK)
+    assert local_probe in ("mergecount", "diagonal"), local_probe
+    # diagonal rung returns per-range match counts in the lo slots
+    # (hi stays 0) so the host-side total recombines identically
+    nb = 1 if local_probe == "diagonal" else \
+        -(-(n_seg * (cap_sr + cap_ss)) // _PARTIAL_BLOCK)
 
     # static device range edges over the key domain (block assignment:
     # the ranged mirror of AssignmentMap's round robin)
@@ -678,6 +716,32 @@ def make_distributed_join_ranged(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                                 0xFFFFFFFF, rg)
             ss, ok_s = assemble(flat_s, qb_s, cap_cs, cap_ss,
                                 0xFFFFFFFE, rg)
+            if local_probe == "diagonal":
+                # near-uniform fast rung (the relabeled light domain IS
+                # uniform): small-operand sorts + rank-diagonal Pallas
+                # probe — ~2x over mergecount's sort+scan passes; a
+                # tripped drift/coverage check (duplicate-heavy range)
+                # flips range_ok -> checked wrapper escalates
+                from ..utils.backend import pallas_interpret
+                from ..ops.buildprobe import diagonal_prepad
+                n_rr = n_seg * cap_sr
+                n_ss = n_seg * cap_ss
+                gr = 8 if pallas_interpret() else rows_per_group
+                rsrt = jax.lax.sort(bias_keys(rr), is_stable=False)
+                ssrt = jax.lax.sort(bias_keys(ss), is_stable=False)
+                rp = diagonal_prepad(rsrt, "r", n_rr, n_ss,
+                                     k_drift=k_drift, rows_per_group=gr)
+                sp = diagonal_prepad(ssrt, "s", n_rr, n_ss,
+                                     k_drift=k_drift, rows_per_group=gr)
+                m, okp = probe_count_diagonal(
+                    rp, sp, k_drift=k_drift, rows_per_group=gr,
+                    prepadded=(n_rr, n_ss), blocked=True)
+                ok_k = (ok_r & ok_s & okp).astype(jnp.int32)
+                return (jax.lax.dynamic_update_slice_in_dim(
+                            lo_a, m.astype(jnp.int32)[None, None], rg, 0),
+                        hi_a,
+                        jax.lax.dynamic_update_index_in_dim(
+                            oks, ok_k, rg, 0))
             lo, hi = _merged_partials(rr, ss)
             ok_k = (ok_r & ok_s).astype(jnp.int32)
             return (jax.lax.dynamic_update_slice_in_dim(
@@ -740,6 +804,72 @@ def make_distributed_join_ranged_checked(mesh: Mesh, n_r_shard: int,
     return run
 
 
+class DistributedJoinRowsDenseSkew(NamedTuple):
+    """Dense materialising output under the skew_aware pre-pass (round 5,
+    reference probe_skew emits pairs, kernels_optimized.cu:364-457):
+    light rows in the dense per-R-row form, heavy rows as per-side
+    (candidate_index, rid) lists whose cross products per key ARE the
+    heavy output — O(rows) storage for O(rows^2) join rows.  Assemble
+    host-side with :func:`heavy_row_blocks`; totals via
+    :func:`total_rows_dense_skew`."""
+    r_rids: jnp.ndarray       # uint32[D * recv]  dense light rows
+    s_rids: jnp.ndarray       # int32[D * recv]
+    counts: jnp.ndarray       # int32[D * recv]
+    ok: jnp.ndarray           # bool[D]
+    heavy_keys: jnp.ndarray   # uint32[K]  replicated candidates
+    heavy_valid: jnp.ndarray  # bool[K]
+    hr_ix: jnp.ndarray        # int32[D * n_r_shard]  cand idx, sorted
+    hr_rid: jnp.ndarray       # uint32[D * n_r_shard]
+    hr_cnt: jnp.ndarray       # int32[D]  heavy R rows on shard d
+    hs_ix: jnp.ndarray        # int32[D * n_s_shard]
+    hs_rid: jnp.ndarray       # uint32[D * n_s_shard]
+    hs_cnt: jnp.ndarray       # int32[D]
+
+
+def heavy_row_blocks(res: DistributedJoinRowsDenseSkew) -> dict:
+    """Host-side assembly of the heavy-key row blocks: {key: (r_rids,
+    s_rids)} — the join rows of key k are the cross product
+    r_rids x s_rids (reference probe_skew writes each pair explicitly,
+    kernels_optimized.cu:440-449; the block form is the same information
+    at O(rows) cost)."""
+    ks = _fetch(res.heavy_keys)
+    kv = _fetch(res.heavy_valid)
+    n_dev = res.hr_cnt.shape[0]
+    hr_ix = _fetch(res.hr_ix).reshape(n_dev, -1)
+    hr_rid = _fetch(res.hr_rid).reshape(n_dev, -1)
+    hr_cnt = _fetch(res.hr_cnt)
+    hs_ix = _fetch(res.hs_ix).reshape(n_dev, -1)
+    hs_rid = _fetch(res.hs_rid).reshape(n_dev, -1)
+    hs_cnt = _fetch(res.hs_cnt)
+
+    def side(ix2d, rid2d, cnts):
+        per_key = {}
+        for d in range(n_dev):
+            ix = ix2d[d][:cnts[d]]
+            rid = rid2d[d][:cnts[d]]
+            for i in np.unique(ix):
+                per_key.setdefault(int(i), []).append(rid[ix == i])
+        return {i: np.concatenate(v) for i, v in per_key.items()}
+
+    r_side = side(hr_ix, hr_rid, hr_cnt)
+    s_side = side(hs_ix, hs_rid, hs_cnt)
+    out = {}
+    for i in set(r_side) | set(s_side):
+        if not kv[i]:
+            continue
+        out[int(ks[i])] = (r_side.get(i, np.empty(0, np.uint32)),
+                           s_side.get(i, np.empty(0, np.uint32)))
+    return out
+
+
+def total_rows_dense_skew(res: DistributedJoinRowsDenseSkew) -> int:
+    """64-bit total join rows: dense light counts + heavy block products."""
+    light = int(np.sum(_fetch(res.counts).astype(np.int64)))
+    heavy = sum(len(r) * len(s)
+                for r, s in heavy_row_blocks(res).values())
+    return light + heavy
+
+
 class DistributedJoin64Result(NamedTuple):
     """64-bit-key distributed join output (reference keys are uint64
     end-to-end, data/Tuple.h:15-22; the 32-bit path covers 4G domains)."""
@@ -751,20 +881,42 @@ class DistributedJoin64Result(NamedTuple):
     # same >2^31-safe recombination as the 32-bit terminal rung.
     merged_lo: jnp.ndarray        # int32[D, NB]
     merged_hi: jnp.ndarray        # int32[D, NB]
+    heavy_cr: jnp.ndarray         # int32[D, K] owner-masked heavy R freqs
+    heavy_cs: jnp.ndarray         # int32[D, K]
 
 
 def total_distributed_matches64(res: DistributedJoin64Result) -> int:
     merged = (np.sum(_fetch(res.merged_lo).astype(np.int64))
               + (np.sum(_fetch(res.merged_hi).astype(np.int64)) << 15))
+    heavy = np.sum(_fetch(res.heavy_cr).astype(np.int64)
+                   * _fetch(res.heavy_cs).astype(np.int64))
     return int(np.sum(_fetch(res.partial_matches).astype(np.int64))
-               + merged)
+               + merged + heavy)
+
+
+class DistributedJoin64RowsDense(NamedTuple):
+    """Dense materialising 64-bit output (round 5): per shard, outputs
+    align to the received R rows in joint dense-rank order — the 64-bit
+    (hi, lo) keys of BOTH received sides are rank-encoded into one
+    join-consistent uint32 surrogate (a concat 2-key sort + run-boundary
+    cumsum: equal surrogates <=> equal 64-bit keys), and the proven
+    single-plane windowed emit kernel runs on the surrogates.  The
+    reference reaches the same effect by carrying its 8 B compressed
+    word through every kernel (data/data.hpp:47); here the surrogate is
+    narrower than the wire format, not wider."""
+    r_rids: jnp.ndarray   # uint32[D * recv_r]
+    s_rids: jnp.ndarray   # int32[D * recv_r]
+    counts: jnp.ndarray   # int32[D * recv_r]
+    ok: jnp.ndarray       # bool[D]
 
 
 def make_distributed_join64(mesh: Mesh, n_r_shard: int, n_s_shard: int,
                             cfg: JoinConfig = DEFAULT_CONFIG,
                             local_probe: str = "diagonal64",
                             k_drift: int | None = None,
-                            full_capacity: bool = False):
+                            full_capacity: bool = False,
+                            skew_aware: bool = False,
+                            materialize_dense: bool = False):
     """4-phase distributed join over 64-bit (hi, lo)-plane keys — the
     wide-key mirror of :func:`make_distributed_join` (reference tuples
     carry uint64 keys, data/Tuple.h:15-22; its CompressedTuple wire format
@@ -794,19 +946,56 @@ def make_distributed_join64(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         cap_r = cfg.shuffle_capacity(n_r_shard, n_dev)
         cap_s = cfg.shuffle_capacity(n_s_shard, n_dev)
     k = k_drift if k_drift is not None else cfg.diagonal_k
+    k_half = max(8, cfg.max_heavy_keys // (2 * n_dev))
+    k_cand = 2 * k_half * n_dev if skew_aware else 1
 
     def shard_fn(rh, rl, rr, sh, sl, sr):
+        # ---- phase 0 (optional): 64-bit heavy-hitter pre-pass, the
+        # pair-exact mirror of the 32-bit phase 0 (reference skew kernels
+        # act on the 8 B data words whatever the key width,
+        # kernels_optimized.cu:301-457 / data.hpp:47) ----
+        heavy_cr = jnp.zeros((k_cand,), jnp.int32)
+        heavy_cs = jnp.zeros((k_cand,), jnp.int32)
+        drop_r = drop_s = None
+        if skew_aware:
+            my0 = jax.lax.axis_index(axis)
+            key0 = jax.random.fold_in(jax.random.key(1), my0)
+            kr0, ks0 = jax.random.split(key0)
+            hh_r = skew_ops.detect_heavy_keys64(rh, rl, kr0, k_half)
+            hh_s = skew_ops.detect_heavy_keys64(sh, sl, ks0, k_half)
+            ch = jax.lax.all_gather(jnp.concatenate(
+                [hh_r.key_hi, hh_s.key_hi]), axis).reshape(-1)
+            cl = jax.lax.all_gather(jnp.concatenate(
+                [hh_r.key_lo, hh_s.key_lo]), axis).reshape(-1)
+            cv = jax.lax.all_gather(jnp.concatenate(
+                [hh_r.valid, hh_s.valid]), axis).reshape(-1)
+            hh = skew_ops.dedup_heavy64(
+                skew_ops.HeavyHitters64(ch, cl, cv))
+            cr = jax.lax.psum(skew_ops.count_exact64(rh, rl, hh), axis)
+            heavy_cs = jax.lax.psum(skew_ops.count_exact64(sh, sl, hh),
+                                    axis)
+            owner = (jnp.arange(k_cand, dtype=jnp.int32)
+                     % jnp.int32(n_dev))
+            heavy_cr = jnp.where(owner == my0, cr, 0)
+            drop_r = skew_ops.heavy_mask64(rh, rl, hh)
+            drop_s = skew_ops.heavy_mask64(sh, sl, hh)
+
         # ---- phase 1: histograms on the 64-bit key's low bits ----
         pid_r = radix_bits(rl, net_bits)
         pid_s = radix_bits(sl, net_bits)
+        if drop_r is not None:
+            pid_r = jnp.where(drop_r, jnp.int32(p_net), pid_r)
+            pid_s = jnp.where(drop_s, jnp.int32(p_net), pid_s)
         meta_r = compute_metadata(pid_r, p_net, axis)
         meta_s = compute_metadata(pid_s, p_net, axis)
 
         # ---- phase 3: (hi, lo, rid) planes over the ICI ----
-        shuf_r = shuffle_multi((rh, rl, rr), meta_r.assignment[pid_r],
-                               cap_r, axis)
-        shuf_s = shuffle_multi((sh, sl, sr), meta_s.assignment[pid_s],
-                               cap_s, axis)
+        pid_r_c = jnp.minimum(pid_r, p_net - 1)
+        pid_s_c = jnp.minimum(pid_s, p_net - 1)
+        shuf_r = shuffle_multi((rh, rl, rr), meta_r.assignment[pid_r_c],
+                               cap_r, axis, drop_r)
+        shuf_s = shuffle_multi((sh, sl, sr), meta_s.assignment[pid_s_c],
+                               cap_s, axis, drop_s)
 
         # all-written invariant, per relation (data/Window.cpp:180-191)
         my_dev = jax.lax.axis_index(axis)
@@ -823,8 +1012,56 @@ def make_distributed_join64(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         # key domain is [0, 2^64 - 16)): R pad (FFFFFFFF, FFFFFFFF),
         # S pad (FFFFFFFF, FFFFFFFE) — they sort to the tail and can
         # never cross-match.
-        rhv, rlv, _ = shuf_r.operands
-        shv, slv, _ = shuf_s.operands
+        from ..utils.backend import pallas_interpret
+        rhv, rlv, rrv = shuf_r.operands
+        shv, slv, srv = shuf_s.operands
+        if materialize_dense:
+            # Dense 64-bit materialising rung via JOINT DENSE-RANK
+            # surrogates: concat both sides, one 2-key sort, run-boundary
+            # cumsum assigns every distinct (hi, lo) one uint32 group id
+            # (equal gid <=> equal 64-bit key); a second sort splits the
+            # sides back in gid order and the proven single-plane
+            # windowed emit kernel runs on the surrogates.  Pad groups
+            # map onto the engine's standard R/S pad sentinels.
+            rh_m = jnp.where(shuf_r.valid, rhv, jnp.uint32(0xFFFFFFFF))
+            rl_m = jnp.where(shuf_r.valid, rlv, jnp.uint32(0xFFFFFFFF))
+            sh_m = jnp.where(shuf_s.valid, shv, jnp.uint32(0xFFFFFFFF))
+            sl_m = jnp.where(shuf_s.valid, slv, jnp.uint32(0xFFFFFFFE))
+            len_r = rh_m.shape[0]
+            hi_c = jnp.concatenate([rh_m, sh_m])
+            lo_c = jnp.concatenate([rl_m, sl_m])
+            side = jnp.concatenate(
+                [jnp.zeros((len_r,), jnp.int32),
+                 jnp.ones((sh_m.shape[0],), jnp.int32)])
+            rid_c = jnp.concatenate([rrv, srv]).astype(jnp.int32)
+            bh, bl, bside, brid = jax.lax.sort(
+                (bias_keys(hi_c), bias_keys(lo_c), side, rid_c),
+                num_keys=2, is_stable=False)
+            prev_h = jnp.concatenate([bh[:1] ^ 1, bh[:-1]])
+            prev_l = jnp.concatenate([bl[:1] ^ 1, bl[:-1]])
+            is_start = ((bh != prev_h) | (bl != prev_l)).at[0].set(True)
+            gid = (jnp.cumsum(is_start.astype(jnp.int32)) - 1)
+            sent_hi = jax.lax.bitcast_convert_type(
+                jnp.uint32(0xFFFFFFFF) ^ jnp.uint32(0x80000000), jnp.int32)
+            sent_lo_s = jax.lax.bitcast_convert_type(
+                jnp.uint32(0xFFFFFFFE) ^ jnp.uint32(0x80000000), jnp.int32)
+            is_rpad = (bh == sent_hi) & (bl == sent_hi)
+            is_spad = (bh == sent_hi) & (bl == sent_lo_s)
+            gkey = jnp.where(is_rpad, jnp.uint32(0xFFFFFFFF),
+                             jnp.where(is_spad, jnp.uint32(0xFFFFFFFE),
+                                       gid.astype(jnp.uint32)))
+            _, gk2, rid2 = jax.lax.sort((bside, gkey, brid), num_keys=2,
+                                        is_stable=False)
+            rbk = bias_keys(gk2[:len_r])
+            rrs = rid2[:len_r]
+            sbk = bias_keys(gk2[len_r:])
+            srs = rid2[len_r:]
+            out_srid, cnt, win_ok, multi = join_materialize_windowed(
+                rbk, sbk, srs,
+                rows_per_group=8 if pallas_interpret() else 32)
+            row_ok = ok & win_ok & ~multi
+            return (rrs.astype(jnp.uint32)[None], out_srid[None],
+                    cnt[None], row_ok[None])
         if local_probe == "mergecount64":
             rh_m = jnp.where(shuf_r.valid, rhv, jnp.uint32(0xFFFFFFFF))
             rl_m = jnp.where(shuf_r.valid, rlv, jnp.uint32(0xFFFFFFFF))
@@ -833,9 +1070,9 @@ def make_distributed_join64(mesh: Mesh, n_r_shard: int, n_s_shard: int,
             lo, hi = _merged_partials64(rh_m, rl_m, sh_m, sl_m)
             return (jnp.zeros((1,), jnp.int32), ok[None],
                     meta_r.global_hist, meta_s.global_hist,
-                    lo[None], hi[None])
+                    lo[None], hi[None],
+                    heavy_cr[None], heavy_cs[None])
         assert local_probe == "diagonal64", local_probe
-        from ..utils.backend import pallas_interpret
         rbh, rbl = jax.lax.sort(
             (bias_keys(rhv, ~shuf_r.valid, 0xFFFFFFFF),
              bias_keys(rlv, ~shuf_r.valid, 0xFFFFFFFF)),
@@ -850,13 +1087,20 @@ def make_distributed_join64(mesh: Mesh, n_r_shard: int, n_s_shard: int,
             cfg.diagonal_rows_per_group)
         return (matches[None].astype(jnp.int32), (ok & okp)[None],
                 meta_r.global_hist, meta_s.global_hist,
-                jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32))
+                jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
+                heavy_cr[None], heavy_cs[None])
 
+    assert not (materialize_dense and skew_aware), (
+        "64-bit dense + skew row blocks not combined yet: heavy rows "
+        "would be silently dropped from the output; use the 32-bit "
+        "dense-skew rung or count-only skew for 64-bit keys")
     sharded = NamedSharding(mesh, P(axis))
+    out_specs = (P(axis),) * 4 if materialize_dense else \
+        (P(axis), P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis))
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis),) * 6,
-        out_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -865,6 +1109,8 @@ def make_distributed_join64(mesh: Mesh, n_r_shard: int, n_s_shard: int,
         args = [jax.lax.with_sharding_constraint(a, sharded)
                 for a in (r.key_hi, r.key_lo, r.rids,
                           s.key_hi, s.key_lo, s.rids)]
+        if materialize_dense:
+            return DistributedJoin64RowsDense(*mapped(*args))
         return DistributedJoin64Result(*mapped(*args))
 
     return run

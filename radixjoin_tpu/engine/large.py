@@ -747,6 +747,175 @@ def join_rows_keys_ranged_runs(r_source, s_source, runs: int,
     return total, ok
 
 
+class HeavyRowCollector:
+    """Host-side accumulator for the heavy-row side channel of
+    :func:`join_rows_keys_skew_runs`: per heavy key, the R-rid and S-rid
+    lists whose cross product IS that key's join-row block (reference
+    probe_skew writes each pair explicitly, kernels_optimized.cu:440-449;
+    the block form carries the same information at O(rows) cost)."""
+
+    def __init__(self, hh_keys, hh_valid):
+        self.keys = np.asarray(jax.device_get(hh_keys))
+        self.valid = np.asarray(jax.device_get(hh_valid))
+        self._r = {}
+        self._s = {}
+
+    def add(self, side: str, hix, rids, cnt: int):
+        ix = np.asarray(jax.device_get(hix))[:cnt]
+        rid = np.asarray(jax.device_get(rids))[:cnt]
+        store = self._r if side == "r" else self._s
+        for i in np.unique(ix):
+            store.setdefault(int(i), []).append(rid[ix == i])
+
+    def blocks(self) -> dict:
+        """{key: (r_rids, s_rids)} over keys seen on either side."""
+        out = {}
+        for i in set(self._r) | set(self._s):
+            if not self.valid[i]:
+                continue
+            out[int(self.keys[i])] = (
+                np.concatenate(self._r.get(i, [np.empty(0, np.uint32)])),
+                np.concatenate(self._s.get(i, [np.empty(0, np.uint32)])))
+        return out
+
+    def total_rows(self) -> int:
+        return sum(len(r) * len(s) for r, s in self.blocks().values())
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("side_sentinel_heavy",))
+def _skewrows_split(keys, rids, hk, hv, side_sentinel_heavy: int):
+    """One [K, N] compare pass -> (light key-sorted biased keys + rids,
+    heavy (candidate_index, rid) compaction, heavy count).  Heavy rows'
+    light keys become the side sentinel (sort to the tail, match
+    nothing); the compaction is a sort by candidate index — no gathers."""
+    eq = (keys[None, :] == hk[:, None]) & hv[:, None]
+    m = jnp.any(eq, axis=0)
+    hix = jnp.where(m, jnp.argmax(eq, axis=0).astype(jnp.int32),
+                    jnp.int32(0x7FFFFFFF))
+    hcnt = jnp.sum(m.astype(jnp.int32))
+    six, hrid = jax.lax.sort((hix, rids), num_keys=1, is_stable=False)
+    lk = jnp.where(m, jnp.uint32(side_sentinel_heavy), keys)
+    lbk, lrid = jax.lax.sort((bias_keys(lk), rids.astype(jnp.int32)),
+                             num_keys=1, is_stable=False)
+    return lbk, lrid, six, hrid, hcnt
+
+
+def join_rows_keys_skew_runs(r_source, s_source, runs: int,
+                             n_r_total: int, n_s_total: int,
+                             domain: int, consume,
+                             collector_out: list | None = None,
+                             max_matches: int = 4,
+                             max_heavy_per_run: int = 64,
+                             prng_seed: int = 0,
+                             window_rows: int = 4,
+                             rows_per_group: int = 32,
+                             sync=None):
+    """Skew-aware MATERIALISING ranged-runs join (round 5, VERDICT r4
+    item 3 / missing #1): heavy-key rows emitted as closed-form blocks,
+    light rows through the M-plane emit kernel.
+
+    Sources are ``fn(run, n_runs) -> (keys, rids)`` with run k's keys in
+    [k*domain/runs, (k+1)*domain/runs) (the join_rows_keys_ranged_runs
+    contract).  Per run:
+
+      1. heavy rows (sampled detection, union over 2 runs/side) are
+         COMPACTED per side as (candidate_index, rid) lists — their join
+         rows are per-key cross products, never probed (reference
+         probe_skew, kernels_optimized.cu:364-457, as closed-form
+         blocks); streamed into a :class:`HeavyRowCollector` appended to
+         ``collector_out`` (if given),
+      2. light rows run the M-plane windowed emit: up to ``max_matches``
+         S rids per sorted-R element — mid-tail duplicate keys under
+         Zipf make cnt > 1 common, which the dense single-plane form
+         cannot express; ``consume(k, r_rid_sorted, rid_planes, cnt)``
+         receives each pair's output on device.
+
+    Returns (total_rows, ok): total includes heavy block products
+    (host int64).  ok False when a window overflowed, some light row
+    matched more than ``max_matches`` S rows (raise max_matches or
+    max_heavy_per_run so such keys detect as heavy), or a range claim
+    failed.  Counts in cnt stay exact even when ok is False.
+    """
+    from ..ops import skew as skew_ops
+    from ..ops.buildprobe import join_materialize_windowed_multi
+    sync = sync or (lambda x: None)
+    assert n_r_total % runs == 0 and n_s_total % runs == 0
+    assert domain % runs == 0
+    nr = n_r_total // runs
+    ns = n_s_total // runs
+    span = domain // runs
+
+    # ---- detection (keys only; 2 iid runs per side, cf. skew_hashed) ----
+    hks, hvs = [], []
+    base = jax.random.key(prng_seed)
+    fold = 0
+    for src in (r_source, s_source):
+        for i in range(min(runs, 2)):
+            k = src(i, runs)[0]
+            fold += 1
+            win = 1 << 16
+            if k.shape[0] > win:
+                off = ((i * 2654435761) % (k.shape[0] - win)) & ~127
+                k = jax.lax.slice_in_dim(k, off, off + win)
+            hh_i = skew_ops.detect_heavy_keys(
+                k, jax.random.fold_in(base, fold), max_heavy_per_run)
+            hks.append(hh_i.keys)
+            hvs.append(hh_i.valid)
+    hh = skew_ops.dedup_heavy(skew_ops.HeavyHitters(
+        jnp.concatenate(hks), jnp.concatenate(hvs)))
+    sync(hh.keys)
+    collector = HeavyRowCollector(hh.keys, hh.valid)
+    if collector_out is not None:
+        collector_out.append(collector)
+
+    def _bias_const(u):
+        return int(np.int32(np.uint32(u) ^ np.uint32(0x80000000)))
+
+    gr = rows_per_group
+    from ..utils.backend import pallas_interpret
+    if pallas_interpret():
+        gr = 8
+
+    total_light = 0
+    ok = True
+    for k in range(runs):
+        lo_b = _bias_const(k * span)
+        hi_b = _bias_const((k + 1) * span - 1)
+
+        def prep(source, n_side, sent):
+            keys, rids = source(k, runs)
+            lbk, lrid, six, hrid, hcnt = _skewrows_split(
+                keys, rids, hh.keys, hh.valid, side_sentinel_heavy=sent)
+            sync(lbk)
+            n_real = n_side - hcnt
+            in_rng = jnp.where(
+                n_real > 0,
+                (lbk[0] >= lo_b)
+                & (jnp.max(jnp.where(
+                    jnp.arange(n_side) < n_real, lbk, lo_b)) <= hi_b),
+                True)
+            return lbk, lrid, six, hrid, int(hcnt), in_rng
+
+        rbk, rrs, r_six, r_hrid, r_hcnt, rin = prep(r_source, nr,
+                                                    0xFFFFFFFF)
+        sbk, srs, s_six, s_hrid, s_hcnt, sin = prep(s_source, ns,
+                                                    0xFFFFFFFE)
+        collector.add("r", r_six, r_hrid, r_hcnt)
+        collector.add("s", s_six, s_hrid, s_hcnt)
+
+        rid_planes, cnt, win_ok, overflow = join_materialize_windowed_multi(
+            rbk, sbk, srs, max_matches=max_matches,
+            window_rows=window_rows, rows_per_group=gr)
+        pair_rows = jnp.sum(cnt)
+        sync(pair_rows)
+        ok = ok and bool(rin) and bool(sin) and bool(win_ok) \
+            and not bool(overflow)
+        consume(k, rrs, rid_planes, cnt)
+        total_light += int(pair_rows)
+    return total_light + collector.total_rows(), ok
+
+
 def gen_unique_tuples_ranged_run(n: int, odd_mult: int):
     """``fn(run, n_runs) -> (keys, rids)``: the (key, rid) form of
     :func:`gen_unique_keys_ranged_run` — run k is a bijection over key

@@ -1086,6 +1086,35 @@ def _emit_kernel(w, b8, gr, wg_ref, wmeta_ref, rk_ref, s_ref, srid_ref,
         cnt_out_ref[pl.ds(j * _ROWS, _ROWS), :] = out_c
 
 
+def _ranks_sorted_queries(s_sorted, heads, tails):
+    """(searchsorted_left(s, heads), searchsorted_right(s, tails)) via
+    TWO SORTS instead of binary search: jnp.searchsorted lowers to
+    ~log(n) passes of gathered compares — the measured-slowest op class
+    on this chip (150 ms of a 582 ms fused pipeline step at 2^26,
+    logs/r5_sf100_prof.log).  A tag operand orders ties (heads before
+    equal S elements, tails after), so each query's rank among S
+    elements is its merged position minus the queries preceding it; a
+    second compaction sort returns ranks in query order.  Exact for any
+    inputs; ~n_s + 2*n_q elements through 2 small sorts."""
+    n_s = s_sorted.shape[0]
+    nq = heads.shape[0]
+    keys = jnp.concatenate([s_sorted, heads, tails])
+    tag = jnp.concatenate([jnp.zeros((n_s,), jnp.int32),
+                           jnp.full((nq,), -1, jnp.int32),
+                           jnp.ones((nq,), jnp.int32)])
+    qid = jnp.concatenate([jnp.full((n_s,), jnp.int32(0x7FFFFFFF)),
+                           jnp.arange(nq, dtype=jnp.int32),
+                           jnp.arange(nq, 2 * nq, dtype=jnp.int32)])
+    _, st, sq = jax.lax.sort((keys, tag, qid), num_keys=2,
+                             is_stable=False)
+    is_q = (st != 0).astype(jnp.int32)
+    csum_q = jnp.cumsum(is_q)
+    pos = jnp.arange(n_s + 2 * nq, dtype=jnp.int32)
+    rank = pos - (csum_q - is_q)
+    _, srank = jax.lax.sort((sq, rank), num_keys=1, is_stable=False)
+    return srank[:nq], srank[nq:2 * nq]
+
+
 def _windowed_prep(r_sorted, s_sorted, s_rids, w: int, gr: int,
                    band_blocks: int | None):
     """Host-side geometry + padding shared by the windowed emit kernels:
@@ -1120,6 +1149,16 @@ def _windowed_prep(r_sorted, s_sorted, s_rids, w: int, gr: int,
     heads = rk[::128]
     tails = rk[127::128]
     row_valid = heads != jnp.int32(_R_SENT_B)
+    # Coverage clamp for the MIXED boundary row (head real, tail an
+    # R-pad sentinel — any run whose valid count isn't a multiple of
+    # 128 has one): its tail query counts every S element including
+    # the S-pad tail, tripping cover_ok spuriously.  Its real keys are
+    # the largest real R keys, whose S matches end at the last real S
+    # element, so clamping the coverage REQUIREMENT at n_s_real is
+    # exact — sentinel elements match nothing either way (counts were
+    # always exact; only the flag was conservative).
+    n_s_real = jnp.searchsorted(
+        s_sorted, jnp.int32(_S_SENT_B), side="left").astype(jnp.int32)
     if n_s >= (1 << 22):
         # Coarse row-granular search (the diagonal probe's v2 fix applied
         # here): element-exact searchsorted over the FULL S array goes
@@ -1133,15 +1172,13 @@ def _windowed_prep(r_sorted, s_sorted, s_rids, w: int, gr: int,
         #   r_tail lies before the first row whose head > r_tail, so
         #   j1_row <= w_row + w is (conservatively) sufficient.
         s_heads = s2d[:, 0]
-        w_row = jnp.maximum(
-            jnp.searchsorted(s_heads, heads, side="left")
-            .astype(jnp.int32) - 1, 0)
-        j1_row = jnp.searchsorted(s_heads, tails,
-                                  side="right").astype(jnp.int32)
+        j0_row, j1_row = _ranks_sorted_queries(s_heads, heads, tails)
+        w_row = jnp.maximum(j0_row - 1, 0)
+        j1_row = jnp.minimum(j1_row, (n_s_real + 127) // 128)
         cover_ok = jnp.all(jnp.where(row_valid, j1_row <= w_row + w, True))
     else:
-        j0 = jnp.searchsorted(s_sorted, heads, side="left").astype(jnp.int32)
-        j1 = jnp.searchsorted(s_sorted, tails, side="right").astype(jnp.int32)
+        j0, j1 = _ranks_sorted_queries(s_sorted, heads, tails)
+        j1 = jnp.minimum(j1, n_s_real)
         w_row = j0 // 128                               # window start row
         cover_ok = jnp.all(jnp.where(row_valid,
                                      j1 <= (w_row + w) * 128, True))

@@ -134,3 +134,76 @@ def heavy_mask(keys: jnp.ndarray, hh: HeavyHitters) -> jnp.ndarray:
     eq = keys[None, :] == hh.keys[:, None]            # [K, N]
     eq = eq & hh.valid[:, None]
     return jnp.any(eq, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit (hi, lo)-plane variants — the wide-key mirror of the machinery
+# above (reference keys are uint64 end-to-end, data/Tuple.h:15-22; its
+# skew kernels act on the 8 B data words regardless of key width).
+# ---------------------------------------------------------------------------
+
+
+class HeavyHitters64(NamedTuple):
+    key_hi: jnp.ndarray   # uint32[K]
+    key_lo: jnp.ndarray   # uint32[K]
+    valid: jnp.ndarray    # bool[K]
+
+
+def detect_heavy_keys64(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
+                        prng_key, max_heavy: int,
+                        sample_size: int = 1 << 16,
+                        min_est_frequency: float = 1e-3) -> HeavyHitters64:
+    """Top-``max_heavy`` 64-bit keys by sampled frequency.
+
+    Pair-exact (no hash folding): the sample's (hi, lo) pairs are
+    2-key-sorted, per-group counts come from the cumsum-difference over
+    run starts, and a compaction sort carries BOTH planes to the top-k
+    slots — the same gather-free pattern as ops/aggregate."""
+    n = key_hi.shape[0]
+    sample_size = min(sample_size, n)
+    idx = jax.random.randint(prng_key, (sample_size,), 0, n)
+    sh, sl = key_hi[idx], key_lo[idx]
+    sh, sl = jax.lax.sort((sh, sl), num_keys=2, is_stable=False)
+    prev_h = jnp.concatenate([sh[:1] ^ jnp.uint32(1), sh[:-1]])
+    prev_l = jnp.concatenate([sl[:1] ^ jnp.uint32(1), sl[:-1]])
+    is_start = ((sh != prev_h) | (sl != prev_l)).at[0].set(True)
+    pos = jnp.arange(sample_size, dtype=jnp.int32)
+    csum = jnp.cumsum(jnp.ones((sample_size,), jnp.int32))
+    csum_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum[:-1]])
+    a = jnp.where(is_start, pos, jnp.int32(0x7FFFFFFF))
+    n_groups = jnp.sum(is_start.astype(jnp.int32))
+    _, before, gh, gl = jax.lax.sort((a, csum_prev, sh, sl), num_keys=1,
+                                     is_stable=False)
+    gslot = jnp.arange(sample_size, dtype=jnp.int32)
+    gvalid = gslot < n_groups
+    nxt = jnp.where(gslot == n_groups - 1, csum[sample_size - 1],
+                    jnp.concatenate([before[1:], csum[-1:]]))
+    gcounts = jnp.where(gvalid, nxt - before, 0)
+    top_counts, top_idx = jax.lax.top_k(gcounts, max_heavy)
+    min_count = jnp.int32(max(1, int(min_est_frequency * sample_size)))
+    valid = top_counts >= min_count
+    hk_hi = jnp.where(valid, gh[top_idx], jnp.uint32(0xFFFFFFFF))
+    hk_lo = jnp.where(valid, gl[top_idx], jnp.uint32(0xFFFFFFFF))
+    return HeavyHitters64(hk_hi, hk_lo, valid)
+
+
+def dedup_heavy64(hh: HeavyHitters64) -> HeavyHitters64:
+    k = hh.key_hi.shape[0]
+    eq = ((hh.key_hi[:, None] == hh.key_hi[None, :])
+          & (hh.key_lo[:, None] == hh.key_lo[None, :]))
+    earlier = (jnp.arange(k)[None, :] < jnp.arange(k)[:, None])
+    dup = jnp.any(eq & earlier & hh.valid[None, :], axis=1)
+    return HeavyHitters64(hh.key_hi, hh.key_lo, hh.valid & ~dup)
+
+
+def count_exact64(key_hi, key_lo, hh: HeavyHitters64) -> jnp.ndarray:
+    eq = ((key_hi[None, :] == hh.key_hi[:, None])
+          & (key_lo[None, :] == hh.key_lo[:, None]))
+    return jnp.sum(eq, axis=1, dtype=jnp.int32) * hh.valid.astype(jnp.int32)
+
+
+def heavy_mask64(key_hi, key_lo, hh: HeavyHitters64) -> jnp.ndarray:
+    eq = ((key_hi[None, :] == hh.key_hi[:, None])
+          & (key_lo[None, :] == hh.key_lo[:, None])
+          & hh.valid[:, None])
+    return jnp.any(eq, axis=0)

@@ -442,3 +442,73 @@ def test_skew_hashed_asymmetric_runs():
     got, ok = join_count_keys_skew_hashed(src(rk), src(sk), 2, 4,
                                           n_r, n_s, n_ranges=8)
     assert ok and got == want, (got, want, ok)
+
+
+def test_distributed64_skew_aware(mesh8):
+    """Round-5 64-bit parity: skew_aware phase 0 drops a hot 64-bit key
+    before the shuffle (closed-form heavy products), keeping capacity."""
+    from radixjoin_tpu import JoinConfig
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join64, total_distributed_matches64)
+    n_dev, per = 8, 2048
+    n = per * n_dev
+    hot = n // 4
+    rng = np.random.default_rng(72)
+    hot_key = np.uint64(777) | (np.uint64(3) << np.uint64(40))
+    r64 = (rng.permutation(n).astype(np.uint64)
+           | (rng.integers(0, 4, n, dtype=np.uint64) << np.uint64(40)))
+    s64 = np.concatenate([r64[rng.permutation(n)][:n - hot],
+                          np.full(hot, hot_key, np.uint64)])
+    rng.shuffle(s64)
+    want = _np_join_count64(r64, s64)
+    cfg = JoinConfig(use_pallas=False, allocation_factor=1.3)
+    # mergecount64 local rung: the post-drop S side is ~25% smaller than
+    # R, which exceeds any rank-diagonal drift budget — the robust rung
+    # is the right pairing for the skew pre-pass (as in the 32-bit skew
+    # config, which goes straight to mergecount)
+    run = make_distributed_join64(mesh8, per, per, cfg, skew_aware=True,
+                                  local_probe="mergecount64")
+    res = run(make_relation64(r64, np.arange(n, dtype=np.uint32)),
+              make_relation64(s64, np.arange(n, dtype=np.uint32)))
+    assert np.asarray(res.ok).all(), \
+        "64-bit heavy pre-pass should keep shuffle within capacity"
+    assert total_distributed_matches64(res) == want
+    # without the pre-pass the hot key overflows the mean-sized shuffle
+    run2 = make_distributed_join64(mesh8, per, per, cfg,
+                                   local_probe="mergecount64")
+    res2 = run2(make_relation64(r64, np.arange(n, dtype=np.uint32)),
+                make_relation64(s64, np.arange(n, dtype=np.uint32)))
+    assert not np.asarray(res2.ok).all()
+
+
+def test_distributed64_rows_dense(mesh8):
+    """Round-5 64-bit dense materialising rung (joint dense-rank
+    surrogates + windowed emit): unique-keys oracle verifies every
+    (r_rid, s_rid) pair joins equal 64-bit keys."""
+    from radixjoin_tpu import JoinConfig
+    from radixjoin_tpu.engine.distributed import make_distributed_join64
+    n_dev, per = 8, 2048
+    n = per * n_dev
+
+    def planes(order_mult):
+        i = (np.arange(n, dtype=np.uint64) * order_mult) % n
+        return ((i * 0x85EBCA77) % (1 << 32)).astype(np.uint32), \
+               ((i * 0x9E3779B9) % (1 << 32)).astype(np.uint32)
+
+    cfg = JoinConfig(use_pallas=False, allocation_factor=1.3)
+    run = make_distributed_join64(mesh8, per, per, cfg,
+                                  materialize_dense=True)
+    rh, rl = planes(2654435761 | 1)
+    sh, sl = planes(0x9E3779B1 ^ 0x40)
+    rows = run(_rel64_from_planes(rh, rl), _rel64_from_planes(sh, sl))
+    assert np.asarray(rows.ok).all()
+    cnt = np.asarray(rows.counts)
+    assert int(cnt.sum()) == n
+    m = cnt == 1
+    assert m.sum() == n
+    rr = np.asarray(rows.r_rids)[m]
+    sr = np.asarray(rows.s_rids)[m]
+    assert len(set(rr.tolist())) == n
+    rk64 = (rh.astype(np.uint64) << np.uint64(32)) | rl
+    sk64 = (sh.astype(np.uint64) << np.uint64(32)) | sl
+    np.testing.assert_array_equal(rk64[rr], sk64[sr])
