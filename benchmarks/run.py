@@ -131,9 +131,9 @@ def run_distributed_1dev_config(n: int, reps: int, meas, cfg,
     exercised at real size on real hardware.
 
     Also runs the MATERIALISING variant (row triples, reference `probe`
-    kernels.cu:199-246) at ``mat_logn`` (default n/16 — ``n.bit_length()
-    - 5`` below: its gather-based output assembly is the measured-slowest
-    op class on this chip).
+    kernels.cu:199-246) at ``mat_logn`` (default n/4 — round 5 lifted
+    the post-crash guard after the gather-free join_materialize rewrite;
+    see benchmarks/tpu_mat25_check.py).
     """
     from jax.sharding import Mesh
     from radixjoin_tpu.data import relation as gen
@@ -182,12 +182,13 @@ def run_distributed_1dev_config(n: int, reps: int, meas, cfg,
               f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
 
     # max_out row-triple variant at reduced size (static max_out
-    # rows/device; its XLA-gather output assembly is the slowest op class
-    # on this chip).  Guarded: a failure here must not lose the numbers
-    # above (round-4 note: the first 2^25 attempt crashed the relay
-    # worker).
+    # rows/device).  Round 5 lifted the 2^22 guard: the round-4 2^25
+    # relay crash did not reproduce after join_materialize's three
+    # searchsorted storms became sort + cummax forward-fills (the probe
+    # benchmarks/tpu_mat25_check.py runs 2^25 and 2^26 clean:
+    # logs/r5_mat25.log, 33.5M/67M rows exact) — default now n/4.
     nm = 1 << (mat_logn if mat_logn is not None
-               else max(10, n.bit_length() - 5))
+               else max(10, n.bit_length() - 3))
     totm = -1
     try:
         rm = gen.fill_unique(nm, jax.random.key(2))
@@ -645,8 +646,11 @@ def run_northstar_skew_config(n: int, reps: int, meas):
     def one():
         # linear relabel-hashed path (round 4); ok=False (a range slice
         # over capacity) falls back to the quadratic pair decomposition
+        # n_ranges = 8*runs: the phase-2 mergecount follows the sort
+        # size curve — 64 ranges at 1B ran 13.2 s/rep vs 15.2 at 16
+        # (logs/r5_skewtune.log)
         got, ok = join_count_keys_skew_hashed(
-            rsrc, ssrc, runs, runs, n, n, n_ranges=max(4, runs * 2),
+            rsrc, ssrc, runs, runs, n, n, n_ranges=max(4, runs * 8),
             sync=_sync)
         if not ok:
             print("hashed skew path overflowed a range slice; "
@@ -765,5 +769,42 @@ def main(argv=None):
         print(f"stored measurements in {d}", file=sys.stderr)
 
 
+def main_traced(argv=None):
+    """RADIXJOIN_TRACE=1 entry: run the whole config under a
+    jax.profiler trace and fold per-executable DEVICE ms into the
+    measurement details (the PAPI-tier answer, perf/measurements.
+    device_module_times) — .perf artifacts then carry DEV_* rows next to
+    the wall-clock phases."""
+    import os
+    import tempfile
+    from radixjoin_tpu.perf.measurements import trace, attribute_device_time
+    from radixjoin_tpu.perf import measurements as _m
+    log_dir = os.environ.get("RADIXJOIN_TRACE_DIR",
+                             tempfile.mkdtemp(prefix="rjtrace-"))
+    meas_box = []
+    orig = _m.Measurements
+
+    class _Capture(orig):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            meas_box.append(self)
+    _m.Measurements = _Capture
+    try:
+        with trace(log_dir):
+            main(argv)
+    finally:
+        _m.Measurements = orig
+    if meas_box:
+        mod = attribute_device_time(meas_box[0], log_dir)
+        top = sorted(mod.items(), key=lambda kv: -kv[1])[:12]
+        for name, ms in top:
+            print(f"[DEVICE] {ms:10.1f} ms  {name}", file=sys.stderr)
+        meas_box[0].store()
+
+
 if __name__ == "__main__":
-    main()
+    import os as _os
+    if _os.environ.get("RADIXJOIN_TRACE", "0") not in ("0", "", "false"):
+        main_traced()
+    else:
+        main()

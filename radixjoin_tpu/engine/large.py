@@ -1223,6 +1223,175 @@ def join_count_keys_skew_hashed(r_source, s_source,
     return int(lo_h + (hi_h << 15)) + heavy_total, ok
 
 
+# --- 64-bit skew-hashed decomposition (round 5: the linear relabel
+# trick reused for wide keys, VERDICT r4 item 8) -----------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("sentinel",))
+def _skh64_hash_sort_count(hi, lo, hk_hi, hk_lo, hv, sentinel: int):
+    """[K, N] pair-compare -> exact heavy counts + mask; ROUTE hash
+    h = hi*A ^ lo*B (collisions harmless: ranges only route work — the
+    per-range mergecount compares FULL (hi, lo) keys); one sort by h
+    carrying both planes."""
+    eq = ((hi[None, :] == hk_hi[:, None])
+          & (lo[None, :] == hk_lo[:, None])) & hv[:, None]
+    hcnt = jnp.sum(eq, axis=1, dtype=jnp.int32)
+    m = jnp.any(eq, axis=0)
+    h = (hi * jnp.uint32(_RELABEL_MULT)) ^ (lo * jnp.uint32(0x85EBCA77))
+    h = jnp.where(m, jnp.uint32(sentinel), h)
+    sh, shi, slo = jax.lax.sort((h, hi, lo), num_keys=1, is_stable=False)
+    return sh, shi, slo, hcnt
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_ranges", "cap_r", "cap_s"))
+def _skh64_ranges_all(r_his, r_los, r_bounds,
+                      s_his, s_los, s_bounds,
+                      n_ranges: int, cap_r: int, cap_s: int):
+    """64-bit mirror of :func:`_skh_ranges_all`: per-range contiguous
+    (hi, lo) slice assembly from the hash-sorted runs + mergecount64
+    partials, one fori_loop executable."""
+    from ..ops.wide import _merged_partials64
+    from ..ops.buildprobe import _PARTIAL_BLOCK
+    concat = len(r_his) * cap_r + len(s_his) * cap_s
+    nb = -(-concat // _PARTIAL_BLOCK)
+
+    def body(rg, carry):
+        lo_a, hi_a, oks = carry
+
+        def side_concat(his, los, bounds, cap, pad_hi, pad_lo):
+            slot = jnp.arange(cap, dtype=jnp.int32)
+            parts_h, parts_l = [], []
+            ok = jnp.bool_(True)
+            for run in range(len(his)):
+                start = jax.lax.dynamic_index_in_dim(
+                    bounds[run], rg, 0, keepdims=False)
+                end = jax.lax.dynamic_index_in_dim(
+                    bounds[run], rg + 1, 0, keepdims=False)
+                size = end - start
+                ok = ok & (size <= cap)
+                sl_h = jax.lax.dynamic_slice_in_dim(his[run], start, cap)
+                sl_l = jax.lax.dynamic_slice_in_dim(los[run], start, cap)
+                keep = slot < size
+                parts_h.append(jnp.where(keep, sl_h, jnp.uint32(pad_hi)))
+                parts_l.append(jnp.where(keep, sl_l, jnp.uint32(pad_lo)))
+            return (jnp.concatenate(parts_h), jnp.concatenate(parts_l),
+                    ok)
+
+        rh, rl, ok_r = side_concat(r_his, r_los, r_bounds, cap_r,
+                                   0xFFFFFFFF, 0xFFFFFFFF)
+        sh, sl, ok_s = side_concat(s_his, s_los, s_bounds, cap_s,
+                                   0xFFFFFFFF, 0xFFFFFFFE)
+        lo, hi = _merged_partials64(rh, rl, sh, sl)
+        ok_k = (ok_r & ok_s).astype(jnp.int32)
+        return (jax.lax.dynamic_update_slice_in_dim(
+                    lo_a, lo[None, :], rg, 0),
+                jax.lax.dynamic_update_slice_in_dim(
+                    hi_a, hi[None, :], rg, 0),
+                jax.lax.dynamic_update_index_in_dim(oks, ok_k, rg, 0))
+
+    return jax.lax.fori_loop(
+        0, n_ranges, body,
+        (jnp.zeros((n_ranges, nb), jnp.int32),
+         jnp.zeros((n_ranges, nb), jnp.int32),
+         jnp.zeros((n_ranges,), jnp.int32)))
+
+
+def join64_count_keys_skew_hashed(r_source, s_source,
+                                  r_runs: int, s_runs: int,
+                                  n_r_total: int, n_s_total: int,
+                                  n_ranges: int = 16,
+                                  max_heavy_per_run: int = 8,
+                                  prng_seed: int = 0,
+                                  cap_slack: float = 1.15,
+                                  sync=None):
+    """64-bit skew-aware exact count join, LINEAR in run count — the
+    wide-key reuse of :func:`join_count_keys_skew_hashed`'s fused
+    decomposition (VERDICT r4 item 8).
+
+    Sources are ``fn(run, n_runs) -> (hi, lo)`` uint32 plane callables.
+    Routing uses the mixed hash h = hi*A ^ lo*B — hash collisions only
+    co-locate keys in a range (the per-range mergecount64 compares full
+    (hi, lo) pairs), so exactness never depends on the hash.  Heavy
+    (hi, lo) keys (pair-exact sampled detection, ops/skew.
+    detect_heavy_keys64) are counted closed-form and masked to side
+    sentinels before the route sort.  A (run, range) slice over the
+    padded capacity flips ok; fall back to
+    :func:`join64_count_keys_runs` (whose per-pair escalation is exact
+    under any skew).  Returns (matches, ok).
+    """
+    from ..ops import skew as skew_ops
+    sync = sync or (lambda x: None)
+    assert n_r_total % r_runs == 0 and n_s_total % s_runs == 0
+    nr = n_r_total // r_runs
+    ns = n_s_total // s_runs
+
+    # ---- detection: 2 iid runs per side ----
+    hhs, hls, hvs = [], [], []
+    base = jax.random.key(prng_seed)
+    fold = 0
+    for src, runs in ((r_source, r_runs), (s_source, s_runs)):
+        for i in range(min(runs, 2)):
+            hi, lo = src(i, runs)
+            fold += 1
+            win = 1 << 16
+            if hi.shape[0] > win:
+                off = ((i * 2654435761) % (hi.shape[0] - win)) & ~127
+                hi = jax.lax.slice_in_dim(hi, off, off + win)
+                lo = jax.lax.slice_in_dim(lo, off, off + win)
+            hh_i = skew_ops.detect_heavy_keys64(
+                hi, lo, jax.random.fold_in(base, fold),
+                max_heavy_per_run * max(1, runs // 2))
+            hhs.append(hh_i.key_hi)
+            hls.append(hh_i.key_lo)
+            hvs.append(hh_i.valid)
+    hh = skew_ops.dedup_heavy64(skew_ops.HeavyHitters64(
+        jnp.concatenate(hhs), jnp.concatenate(hls), jnp.concatenate(hvs)))
+    sync(hh.key_hi)
+
+    span = (1 << 32) // n_ranges
+    bounds_vals = jnp.asarray(
+        np.minimum(np.arange(n_ranges + 1, dtype=np.int64) * span,
+                   0xFFFFFFFE).astype(np.uint32))
+    cap_r = int(-(-int(nr / n_ranges * cap_slack) // 128) * 128)
+    cap_s = int(-(-int(ns / n_ranges * cap_slack) // 128) * 128)
+
+    def build_side(src, runs, sentinel, cap, pad_hi, pad_lo):
+        pad_h = jnp.full((cap,), jnp.uint32(pad_hi))
+        pad_l = jnp.full((cap,), jnp.uint32(pad_lo))
+        his, los, bnds = [], [], []
+        hcnt = jnp.zeros((hh.key_hi.shape[0],), jnp.int32)
+        for i in range(runs):
+            hi, lo = src(i, runs)
+            sh, shi, slo, hc = _skh64_hash_sort_count(
+                hi, lo, hh.key_hi, hh.key_lo, hh.valid,
+                sentinel=sentinel)
+            hcnt = hcnt + hc
+            bnds.append(jnp.searchsorted(sh, bounds_vals)
+                        .astype(jnp.int32))
+            his.append(jnp.concatenate([shi, pad_h]))
+            los.append(jnp.concatenate([slo, pad_l]))
+            sync(his[-1])
+        return his, los, jnp.stack(bnds), hcnt
+
+    r_his, r_los, r_bounds, cr = build_side(r_source, r_runs, 0xFFFFFFFF,
+                                            cap_r, 0xFFFFFFFF, 0xFFFFFFFF)
+    s_his, s_los, s_bounds, cs = build_side(s_source, s_runs, 0xFFFFFFFE,
+                                            cap_s, 0xFFFFFFFF, 0xFFFFFFFE)
+    cr_h = np.asarray(jax.device_get(cr)).astype(np.int64)
+    cs_h = np.asarray(jax.device_get(cs)).astype(np.int64)
+    heavy_total = int(np.sum(cr_h * cs_h))
+
+    lo_a, hi_a, oks = _skh64_ranges_all(
+        r_his, r_los, r_bounds, s_his, s_los, s_bounds,
+        n_ranges=n_ranges, cap_r=cap_r, cap_s=cap_s)
+    lo_h = np.asarray(jax.device_get(lo_a), np.int64).sum()
+    hi_h = np.asarray(jax.device_get(hi_a), np.int64).sum()
+    ok = bool((np.asarray(jax.device_get(oks)) == 1).all())
+    return int(lo_h + (hi_h << 15)) + heavy_total, ok
+
+
 def join_count_keys_skew_runs(r_source, s_source,
                               r_runs: int, s_runs: int,
                               n_r_total: int, n_s_total: int,

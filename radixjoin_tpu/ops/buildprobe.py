@@ -1475,23 +1475,50 @@ def join_materialize(r_keys, r_rids, s_keys, s_rids, max_out: int):
     Returns (out_r_rid, out_s_rid, out_key, valid_mask, total_count). Pairs
     beyond ``max_out`` are dropped (the reference instead re-runs overflowing
     partitions, kernels.cu:376-403; the engine retries with a larger bound).
+    Output slots are ordered by sorted S key (join output order is
+    unspecified set semantics).
+
+    Round-5 formulation: the three searchsorted storms of the original
+    (each = log n passes of output-sized gathered compares; prime suspect
+    in the 2^25/shard relay-worker crash, VERDICT r4 item 4) become
+    sort + cummax forward-fills.  Both (offs, lo) are NON-DECREASING in
+    sorted-S order, so after one merged sort of offset markers with
+    output slots, a running cummax carries each slot's owning (offs, lo)
+    — no binary search, no scatter.  Two genuine output gathers remain
+    (s_rid by owner index, r_rid by position).
     """
-    order = jnp.argsort(r_keys)
-    rk = r_keys[order]
-    rr = r_rids[order]
-    lo = jnp.searchsorted(rk, s_keys, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(rk, s_keys, side="right").astype(jnp.int32)
+    rk, rr = jax.lax.sort((r_keys, r_rids), num_keys=1, is_stable=False)
+    sk, sr = jax.lax.sort((s_keys, s_rids), num_keys=1, is_stable=False)
+    n_s = sk.shape[0]
+    lo, hi = _ranks_sorted_queries(rk, sk, sk)
     cnt = hi - lo
     offs = jnp.cumsum(cnt) - cnt                    # exclusive scan
     total = jnp.sum(cnt)
-    # For output slot k: which s row does it belong to?
+    # Merged order of (offs markers, output slots): markers first on
+    # ties (slot k belongs to the last s row with offs <= k).
     slot = jnp.arange(max_out, dtype=jnp.int32)
-    s_idx = jnp.searchsorted(offs, slot, side="right").astype(jnp.int32) - 1
-    s_idx = jnp.clip(s_idx, 0, s_keys.shape[0] - 1)
-    r_pos = lo[s_idx] + (slot - offs[s_idx])
+    pos_m = jnp.concatenate([offs, slot])
+    tag_m = jnp.concatenate([jnp.zeros((n_s,), jnp.int32),
+                             jnp.ones((max_out,), jnp.int32)])
+    off_pay = jnp.concatenate([offs, jnp.full((max_out,), -1, jnp.int32)])
+    lo_pay = jnp.concatenate([lo, jnp.full((max_out,), -1, jnp.int32)])
+    qid = jnp.concatenate([jnp.full((n_s,), jnp.int32(0x7FFFFFFF)), slot])
+    mp, mt, mo, ml, mq = jax.lax.sort(
+        (pos_m, tag_m, off_pay, lo_pay, qid), num_keys=2, is_stable=False)
+    is_marker = (mt == 0).astype(jnp.int32)
+    # owning s row index = (#markers at or before) - 1; (offs, lo) of
+    # that row via running max (both monotone in sorted-S order)
+    s_idx_m = jnp.cumsum(is_marker) - 1
+    off_f = jax.lax.cummax(mo, axis=0)
+    lo_f = jax.lax.cummax(ml, axis=0)
+    # compact the slot entries back to slot order
+    _, c_sidx, c_off, c_lo = jax.lax.sort(
+        (mq, s_idx_m, off_f, lo_f), num_keys=1, is_stable=False)
+    s_idx = jnp.clip(c_sidx[:max_out], 0, n_s - 1)
+    r_pos = jnp.clip(c_lo[:max_out] + (slot - c_off[:max_out]),
+                     0, rk.shape[0] - 1)
     valid = slot < total
-    r_pos = jnp.clip(r_pos, 0, rk.shape[0] - 1)
     out_r = jnp.where(valid, rr[r_pos], 0)
-    out_s = jnp.where(valid, s_rids[s_idx], 0)
+    out_s = jnp.where(valid, sr[s_idx], 0)
     out_k = jnp.where(valid, rk[r_pos], 0)
     return out_r, out_s, out_k, valid, total

@@ -512,3 +512,37 @@ def test_distributed64_rows_dense(mesh8):
     rk64 = (rh.astype(np.uint64) << np.uint64(32)) | rl
     sk64 = (sh.astype(np.uint64) << np.uint64(32)) | sl
     np.testing.assert_array_equal(rk64[rr], sk64[sr])
+
+
+def test_skew_hashed64_vs_oracle():
+    """Round-5 64-bit linear skew decomposition: hash-routed ranges +
+    mergecount64, heavy (hi, lo) keys closed-form, vs the uint64 oracle."""
+    from radixjoin_tpu.engine.large import join64_count_keys_skew_hashed
+    import jax.numpy as jnp
+    n = 1 << 13
+    rng = np.random.default_rng(80)
+    hot = n // 4
+    # skewed S: hot 64-bit key + mid-tail dups; R random with dups
+    r64 = (rng.integers(0, 1500, n, dtype=np.uint64)
+           | (rng.integers(0, 4, n, dtype=np.uint64) << np.uint64(40)))
+    s64 = (rng.integers(0, 1500, n, dtype=np.uint64)
+           | (rng.integers(0, 4, n, dtype=np.uint64) << np.uint64(40)))
+    hot_key = np.uint64(42) | (np.uint64(2) << np.uint64(40))
+    s64[:hot] = hot_key
+    rng.shuffle(s64)
+    want = _np_join_count64(r64, s64)
+
+    def src_of(k64):
+        hi = (k64 >> np.uint64(32)).astype(np.uint32)
+        lo = (k64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+        def src(run, n_runs):
+            per = n // n_runs
+            sl = slice(run * per, (run + 1) * per)
+            return jnp.asarray(hi[sl]), jnp.asarray(lo[sl])
+        return src
+
+    got, ok = join64_count_keys_skew_hashed(
+        src_of(r64), src_of(s64), 2, 2, n, n, n_ranges=4,
+        cap_slack=2.0)
+    assert ok and got == want, (got, want, ok)
