@@ -709,3 +709,19 @@ def test_join_materialize_windowed_multi_overflow_flag():
         fs, ds, dr, max_matches=4, rows_per_group=8, window_rows=8)
     assert bool(overflow)
     np.testing.assert_array_equal(np.asarray(cnt), np.full(128, 6))
+
+
+def test_aggregate_sum_exact_max_groups_equals_n():
+    """Round-5 advisor fix: max_groups >= n must take the padding branch
+    (aggregate_count-style usage), not assert."""
+    from radixjoin_tpu.ops import aggregate as agg
+    keys = jnp.asarray(np.array([5, 5, 9, 2], np.uint32))
+    vals = jnp.asarray(np.array([1, 2, 3, 4], np.uint32))
+    for mg in (4, 6):
+        gk, planes, counts, valid, ng, ok = agg.aggregate_sum_exact(
+            keys, vals, max_groups=mg)
+        assert bool(ok) and int(ng) == 3
+        sums = agg.combine_sum_planes(planes)
+        got = {int(k): int(s) for k, s, v in
+               zip(np.asarray(gk), sums, np.asarray(valid)) if v}
+        assert got == {2: 4, 5: 3, 9: 3}
