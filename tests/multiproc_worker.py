@@ -78,7 +78,20 @@ def main():
 
     cfg = JoinConfig(use_pallas=False, allocation_factor=2.0)
     from radixjoin_tpu.engine.distributed import _fetch
-    if variant == "materialize":
+    if variant == "ranged":
+        # round-5 fused ranged path across the process boundary: the
+        # relabel-spread range partition + fori_loop local mergecount,
+        # with psum'd send-count invariants crossing processes
+        from radixjoin_tpu.engine.distributed import (
+            make_distributed_join_ranged, total_distributed_matches_ranged,
+            ranged_ok)
+        run = make_distributed_join_ranged(mesh, per, per, cfg,
+                                           local_ranges=4, send_chunks=2)
+        res = run(garr(rk), garr(sk))
+        assert ranged_ok(res), "ranged capacity/invariant tripped"
+        got = total_distributed_matches_ranged(res)
+        assert got == want, f"rank {pid}: {got} != {want}"
+    elif variant == "materialize":
         run = make_distributed_join(mesh, per, per, cfg,
                                     materialize_max_out=4 * per)
         rows = run(r, s)

@@ -62,7 +62,8 @@ def _launch(nproc: int, variant: str = "plain", timeout: float = 420.0):
 # (4, skew): the heavy-hitter pre-pass's candidate all_gather + exact
 #     psum counts cross 4 processes.
 @pytest.mark.parametrize("nproc,variant",
-                         [(2, "plain"), (3, "materialize"), (4, "skew")])
+                         [(2, "plain"), (3, "materialize"), (4, "skew"),
+                          (2, "ranged")])
 def test_multiprocess_distributed_join(nproc, variant):
     procs, outs = _launch(nproc, variant)
     for pid, (p, out) in enumerate(zip(procs, outs)):
