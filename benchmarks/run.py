@@ -328,6 +328,68 @@ def run_distributed_ranged_config(n: int, reps: int, meas, cfg,
     return n
 
 
+def run_distributed_ranged_rows_config(n: int, reps: int, meas, cfg,
+                                       variants=((64, 128, 1.15),)):
+    """MATERIALISING fused ranged distributed join on the real chip
+    (round 5, the rows form of run_distributed_ranged_config): rid planes
+    ride the chunk sorts and the wire; each local sub-range runs the
+    windowed emit kernel inside the fori_loop executable.  Oracle: dense
+    unique keys both sides — every R row matches exactly once, so the
+    light counts + heavy 1x1 blocks total n, and the rid checksums equal
+    n(n-1)/2 per side (each rid appears exactly once in the output)."""
+    from jax.sharding import Mesh
+    from radixjoin_tpu.data import relation as gen
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged_rows, total_distributed_rows_ranged,
+        ranged_rows_ok, heavy_row_blocks, _fetch)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("nodes",))
+    with meas.phase("GENERATE", tuples=2 * n):
+        r = gen.fill_unique(n, jax.random.key(0))
+        s = gen.fill_unique(n, jax.random.key(1))
+        _sync(r.keys); _sync(s.keys)
+
+    best = None
+    for chunks, ranges, slack in variants:
+        tag = f"C{chunks}_B{ranges}_s{int(slack*100)}"
+        run = make_distributed_join_ranged_rows(mesh, n, n, cfg,
+                                                local_ranges=ranges,
+                                                send_chunks=chunks,
+                                                range_slack=slack)
+        with meas.phase(f"COMPILE_{tag}"):
+            res = run(r, s)
+            _sync(res.counts)
+        assert ranged_rows_ok(res), f"{tag}: capacity/emit trip"
+        got = total_distributed_rows_ranged(res)
+        assert got == n, f"{tag}: {got} != {n}"
+        # rid checksums: every rid 0..n-1 appears exactly once per side
+        cnt = _fetch(res.counts)
+        mask = cnt == 1
+        sum_r = int(_fetch(res.r_rids)[mask].astype(np.int64).sum())
+        sum_s = int(_fetch(res.s_rids)[mask].astype(np.int64).sum())
+        for _k, (hr, hs) in heavy_row_blocks(res).items():
+            assert len(hr) <= 1 and len(hs) <= 1, "unique keys: 1x1 blocks"
+            sum_r += int(hr.astype(np.int64).sum()) * len(hs)
+            sum_s += int(hs.astype(np.int64).sum()) * len(hr)
+        want_sum = n * (n - 1) // 2
+        assert sum_r == want_sum and sum_s == want_sum, (
+            f"{tag}: rid checksums {sum_r}/{sum_s} != {want_sum}")
+        t0 = time.perf_counter()
+        with meas.phase(f"JOIN_MAT_{tag}", tuples=2 * n * reps):
+            for _ in range(reps):
+                res = run(r, s)
+                _sync(res.counts)
+        dt = (time.perf_counter() - t0) / reps
+        mtps = 2 * n / dt / 1e6
+        print(f"{tag}: {dt*1e3:.0f} ms/rep  {mtps:.1f} Mt/s (materialise)",
+              file=sys.stderr, flush=True)
+        if best is None or dt < best[1]:
+            best = (tag, dt)
+        del run, res
+    print(f"best={best[0]} {2*n/best[1]/1e6:.1f} Mt/s", file=sys.stderr)
+    return n
+
+
 def run_pipeline_config(n: int, reps: int, meas):
     from radixjoin_tpu import native
     from radixjoin_tpu.data.tuples import Relation
@@ -673,7 +735,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="onechip",
                     choices=["small", "onechip", "skew", "distributed",
-                             "distributed-1dev", "distributed-ranged", "matchrate",
+                             "distributed-1dev", "distributed-ranged",
+                             "distributed-ranged-rows", "matchrate",
                              "pipeline", "pipeline-sf100", "northstar",
                              "northstar-skew",
                              "northstar64", "northstar64-fused",
@@ -701,6 +764,7 @@ def main(argv=None):
                 "distributed": 11,
                 "distributed-1dev": 27 if on_tpu else 16,
                 "distributed-ranged": 27 if on_tpu else 16,
+                "distributed-ranged-rows": 27 if on_tpu else 16,
                 "matchrate": 24 if on_tpu else 14,
                 "pipeline": 20 if on_tpu else 16,
                 "northstar": 30 if on_tpu else 16,
@@ -731,6 +795,9 @@ def main(argv=None):
     elif args.config == "distributed-ranged":
         got = run_distributed_ranged_config(n, args.reps, meas, cfg)
         print(f"matches={got}", file=sys.stderr)
+    elif args.config == "distributed-ranged-rows":
+        got = run_distributed_ranged_rows_config(n, args.reps, meas, cfg)
+        print(f"rows={got}", file=sys.stderr)
     elif args.config == "pipeline":
         got = run_pipeline_config(n, args.reps, meas)
         print(f"join_count={got}", file=sys.stderr)

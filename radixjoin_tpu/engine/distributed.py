@@ -804,6 +804,393 @@ def make_distributed_join_ranged_checked(mesh: Mesh, n_r_shard: int,
     return run
 
 
+class DistributedRangedRows(NamedTuple):
+    """Materialising output of :func:`make_distributed_join_ranged_rows`
+    (round 5, the rows form of the fused ranged path).  Light rows are per
+    LOCAL SUB-RANGE in the engine's dense form (the windowed emit kernel's
+    convention, ops/buildprobe.join_materialize_windowed): within range
+    ``b`` of device ``d``, slot ``i`` is the i-th assembled R row in
+    sorted-key order — it matched ``counts[d, b, i]`` S rows, its own rid
+    is ``r_rids[d, b, i]``, and where the count is exactly 1 its partner's
+    rid is ``s_rids[d, b, i]``.  Sentinel padding slots carry count 0.
+
+    Heavy keys (the 16 sentinel-zone relabel preimages, plus sampled
+    candidates when skew_aware) never enter the shuffle; their rows are
+    the per-key closed-form block products carried as per-side
+    (candidate_index, rid) lists — assemble with :func:`heavy_row_blocks`
+    (field names match :class:`DistributedJoinRowsDenseSkew` so the
+    helpers are shared).  ``range_ok[d, b] == 0`` on a sub-range capacity
+    overflow, an emit-window overflow, or a multi-match R row (counts
+    stay exact there, but emitted rids are rid-sums) — escalate via
+    :func:`make_distributed_join_ranged_rows_checked`."""
+    r_rids: jnp.ndarray       # uint32[D, B, cap_rng]
+    s_rids: jnp.ndarray       # int32[D, B, cap_rng]
+    counts: jnp.ndarray       # int32[D, B, cap_rng]
+    range_ok: jnp.ndarray     # int32[D, B]
+    ok: jnp.ndarray           # bool[D]   all-written + no send overflow
+    heavy_keys: jnp.ndarray   # uint32[K] replicated candidates
+    heavy_valid: jnp.ndarray  # bool[K]
+    hr_ix: jnp.ndarray        # int32[D * n_r_shard]  cand idx, sorted
+    hr_rid: jnp.ndarray       # uint32[D * n_r_shard]
+    hr_cnt: jnp.ndarray       # int32[D]
+    hs_ix: jnp.ndarray        # int32[D * n_s_shard]
+    hs_rid: jnp.ndarray       # uint32[D * n_s_shard]
+    hs_cnt: jnp.ndarray       # int32[D]
+
+
+def ranged_rows_ok(res: DistributedRangedRows) -> bool:
+    return bool(np.all(_fetch(res.ok))
+                and np.all(_fetch(res.range_ok) == 1))
+
+
+def total_distributed_rows_ranged(res: DistributedRangedRows) -> int:
+    """64-bit total join rows: dense light counts + heavy block products
+    (counts are exact even where range_ok tripped only on multi-match)."""
+    light = int(np.sum(_fetch(res.counts).astype(np.int64)))
+    heavy = sum(len(r) * len(s)
+                for r, s in heavy_row_blocks(res).values())
+    return light + heavy
+
+
+def make_distributed_join_ranged_rows(mesh: Mesh, n_r_shard: int,
+                                      n_s_shard: int,
+                                      cfg: JoinConfig = DEFAULT_CONFIG,
+                                      local_ranges: int = 64,
+                                      send_chunks: int = 1,
+                                      range_slack: float = 1.35,
+                                      skew_aware: bool = False,
+                                      window_rows: int = 4,
+                                      rows_per_group: int = 32):
+    """MATERIALISING fused ranged distributed join (round 5 — the rows
+    form of :func:`make_distributed_join_ranged`; reference `probe` emits
+    (rId, sId) pairs at claimed slots, kernels.cu:236-243, and its skew
+    probes emit pairs too, kernels_optimized.cu:364-457).
+
+    Same pipeline as the count variant — relabel-spread range partition,
+    chunk-sorted send, fused fori_loop local rung over ``local_ranges``
+    sub-ranges — with rids riding the pipeline end-to-end:
+
+      * every chunk sort and every per-destination dynamic slice becomes
+        a 2-operand (key, rid) form; the wire carries a rid plane next to
+        each key plane (2x bytes — the reference ships packed 8 B
+        CompressedTuples for exactly this, NetworkPartitioning.cpp:128-129),
+      * the per-sub-range local rung sorts the assembled (key, rid)
+        planes (small-operand sorts at the fused-executable rate) and
+        runs the proven windowed emit kernel per range — dense per-R-row
+        output, no flat receive sort, no output gathers,
+      * heavy keys (sentinel-zone preimages + skew candidates) never
+        cross the wire; their rows are emitted as per-side
+        (candidate_index, rid) lists whose per-key cross products ARE the
+        output — O(rows) storage for O(rows^2) join rows.
+
+    Returns fn(r: Relation, s: Relation) -> :class:`DistributedRangedRows`;
+    totals via :func:`total_distributed_rows_ranged`, heavy blocks via
+    :func:`heavy_row_blocks`, validity via :func:`ranged_rows_ok`.
+    """
+    from ..config import next_multiple
+
+    axis = cfg.mesh_axis
+    n_dev = mesh.devices.size
+    C = send_chunks
+    B = local_ranges
+    assert B >= 2, "local_ranges >= 2 (sub-edge arithmetic is uint32)"
+    assert n_r_shard % C == 0 and n_s_shard % C == 0
+    chunk_r = n_r_shard // C
+    chunk_s = n_s_shard // C
+
+    def chunk_cap(chunk):
+        if n_dev == 1:
+            return next_multiple(chunk, 128)
+        import math
+        return next_multiple(
+            math.ceil(chunk / n_dev * cfg.allocation_factor), 128)
+
+    cap_cr = chunk_cap(chunk_r)
+    cap_cs = chunk_cap(chunk_s)
+    n_seg = n_dev * C
+
+    def sub_cap(chunk, cap_c):
+        import math
+        mean = max(1, math.ceil(chunk / (n_dev * B)))
+        return min(next_multiple(math.ceil(mean * range_slack), 128),
+                   next_multiple(cap_c, 128))
+
+    cap_sr = sub_cap(chunk_r, cap_cr)
+    cap_ss = sub_cap(chunk_s, cap_cs)
+    cap_rng = n_seg * cap_sr      # assembled R rows per sub-range
+
+    span = (1 << 32) // n_dev
+    edges_np = np.minimum(np.arange(n_dev + 1, dtype=np.int64) * span,
+                          _DOMAIN_END).astype(np.uint32)
+    edges_np[n_dev] = np.uint32(_DOMAIN_END)
+    dev_edges = jnp.asarray(edges_np)
+
+    k_half = max(8, cfg.max_heavy_keys // (2 * n_dev))
+    _inv = pow(0x9E3779B1, -1, 1 << 32)
+    preimgs_np = np.array(
+        [((_DOMAIN_END + i) * _inv) % (1 << 32) for i in range(16)],
+        np.uint32)
+    k_cand = (2 * k_half * n_dev + 16) if skew_aware else 16
+
+    def shard_fn(rk, rr, sk, sr):
+        my = jax.lax.axis_index(axis)
+
+        # ---- phase 0: heavy rows out of the pipeline, as block lists ----
+        fixed = skew_ops.HeavyHitters(jnp.asarray(preimgs_np),
+                                      jnp.ones((16,), bool))
+        if skew_aware:
+            key = jax.random.fold_in(jax.random.key(0), my)
+            kr, ks = jax.random.split(key)
+            hh_r = skew_ops.detect_heavy_keys(rk, kr, k_half)
+            hh_s = skew_ops.detect_heavy_keys(sk, ks, k_half)
+            cand_keys = jax.lax.all_gather(
+                jnp.concatenate([hh_r.keys, hh_s.keys]), axis).reshape(-1)
+            cand_valid = jax.lax.all_gather(
+                jnp.concatenate([hh_r.valid, hh_s.valid]), axis).reshape(-1)
+            hh = skew_ops.dedup_heavy(skew_ops.HeavyHitters(
+                jnp.concatenate([cand_keys, fixed.keys]),
+                jnp.concatenate([cand_valid, fixed.valid])))
+        else:
+            hh = fixed
+        drop_r = skew_ops.heavy_mask(rk, hh)
+        drop_s = skew_ops.heavy_mask(sk, hh)
+
+        # heavy (candidate_index, rid) lists by compaction sort — the
+        # radix dense-skew rung's gather-free form (see
+        # make_distributed_join materialize_dense + skew_aware)
+        def compact_heavy(keys, rids, drop):
+            eq = (keys[None, :] == hh.keys[:, None]) & hh.valid[:, None]
+            hix = jnp.where(drop,
+                            jnp.argmax(eq, axis=0).astype(jnp.int32),
+                            jnp.int32(0x7FFFFFFF))
+            cnt_h = jnp.sum(drop.astype(jnp.int32))
+            six, srid = jax.lax.sort((hix, rids), num_keys=1,
+                                     is_stable=False)
+            return six, srid, cnt_h
+
+        hr_ix, hr_rid, hr_cnt = compact_heavy(rk, rr, drop_r)
+        hs_ix, hs_rid, hs_cnt = compact_heavy(sk, sr, drop_s)
+        # heavy rows -> own-side sentinel (never sent); light keys
+        # relabel through the spreading bijection
+        rk = jnp.where(drop_r, jnp.uint32(0xFFFFFFFF),
+                       rk * jnp.uint32(0x9E3779B1))
+        sk = jnp.where(drop_s, jnp.uint32(0xFFFFFFFE),
+                       sk * jnp.uint32(0x9E3779B1))
+
+        # ---- phases 1+3: 2-operand chunk-sorted ranged send ----
+        def ranged_send(keys, rids, C_, chunk, cap_c, sentinel):
+            slot = jnp.arange(cap_c, dtype=jnp.int32)
+            per_k = [[] for _ in range(n_dev)]
+            per_v = [[] for _ in range(n_dev)]
+            counts = jnp.zeros((n_dev,), jnp.int32)
+            overflow = jnp.bool_(False)
+            for c in range(C_):
+                ck = jax.lax.slice_in_dim(keys, c * chunk, (c + 1) * chunk)
+                cv = jax.lax.slice_in_dim(rids, c * chunk, (c + 1) * chunk)
+                cs_, vv_ = jax.lax.sort((ck, cv), num_keys=1,
+                                        is_stable=False)
+                bnd = jnp.searchsorted(cs_, dev_edges).astype(jnp.int32)
+                sizes = bnd[1:] - bnd[:-1]
+                counts = counts + sizes
+                overflow = overflow | jnp.any(sizes > jnp.int32(cap_c))
+                src_k = jnp.concatenate(
+                    [cs_, jnp.full((cap_c,), jnp.uint32(sentinel))])
+                src_v = jnp.concatenate(
+                    [vv_, jnp.zeros((cap_c,), jnp.uint32)])
+                for d in range(n_dev):
+                    slk = jax.lax.dynamic_slice_in_dim(src_k, bnd[d],
+                                                       cap_c)
+                    slv = jax.lax.dynamic_slice_in_dim(src_v, bnd[d],
+                                                       cap_c)
+                    inside = slot < sizes[d]
+                    per_k[d].append(jnp.where(inside, slk,
+                                              jnp.uint32(sentinel)))
+                    per_v[d].append(jnp.where(inside, slv, jnp.uint32(0)))
+            send_k = jnp.stack([jnp.concatenate(p) if C_ > 1 else p[0]
+                                for p in per_k])
+            send_v = jnp.stack([jnp.concatenate(p) if C_ > 1 else p[0]
+                                for p in per_v])
+            return send_k, send_v, counts, overflow
+
+        send_rk, send_rv, counts_r, ovf_r = ranged_send(
+            rk, rr, C, chunk_r, cap_cr, 0xFFFFFFFF)
+        send_sk, send_sv, counts_s, ovf_s = ranged_send(
+            sk, sr, C, chunk_s, cap_cs, 0xFFFFFFFE)
+        recv_rk = jax.lax.all_to_all(send_rk, axis, 0, 0,
+                                     tiled=False).reshape(n_seg, cap_cr)
+        recv_rv = jax.lax.all_to_all(send_rv, axis, 0, 0,
+                                     tiled=False).reshape(n_seg, cap_cr)
+        recv_sk = jax.lax.all_to_all(send_sk, axis, 0, 0,
+                                     tiled=False).reshape(n_seg, cap_cs)
+        recv_sv = jax.lax.all_to_all(send_sv, axis, 0, 0,
+                                     tiled=False).reshape(n_seg, cap_cs)
+
+        # ---- local sub-range bounds + all-written invariant ----
+        base = jax.lax.dynamic_index_in_dim(dev_edges, my, 0,
+                                            keepdims=False)
+        my_hi = jax.lax.dynamic_index_in_dim(dev_edges, my + 1, 0,
+                                             keepdims=False)
+        sspan = span // B
+        sub = base + (jnp.arange(B, dtype=jnp.uint32)
+                      * jnp.uint32(sspan))
+        queries = jnp.concatenate(
+            [sub, my_hi[None],
+             jnp.full((1,), _DOMAIN_END, jnp.uint32)])  # [B+2]
+
+        def seg_bounds(segs2d):
+            return jax.vmap(
+                lambda seg: jnp.searchsorted(seg, queries)
+                .astype(jnp.int32))(segs2d)          # [n_seg, B+2]
+
+        qb_r = seg_bounds(recv_rk)
+        qb_s = seg_bounds(recv_sk)
+
+        exp_r = jax.lax.psum(counts_r, axis)
+        exp_s = jax.lax.psum(counts_s, axis)
+        my_exp_r = jax.lax.dynamic_index_in_dim(exp_r, my, 0,
+                                                keepdims=False)
+        my_exp_s = jax.lax.dynamic_index_in_dim(exp_s, my, 0,
+                                                keepdims=False)
+        ok = ((jnp.sum(qb_r[:, B + 1]) == my_exp_r)
+              & (jnp.sum(qb_s[:, B + 1]) == my_exp_s)
+              & (jnp.sum(qb_r[:, 0]) == 0) & (jnp.sum(qb_s[:, 0]) == 0)
+              & (jnp.sum(qb_r[:, B + 1] - qb_r[:, B]) == 0)
+              & (jnp.sum(qb_s[:, B + 1] - qb_s[:, B]) == 0)
+              & ~ovf_r & ~ovf_s)
+
+        # ---- phase 4: fused fori_loop, per-range 2-op sort + emit ----
+        flat_rk = jnp.concatenate(
+            [recv_rk.reshape(-1),
+             jnp.full((cap_sr,), jnp.uint32(0xFFFFFFFF))])
+        flat_rv = jnp.concatenate(
+            [recv_rv.reshape(-1), jnp.zeros((cap_sr,), jnp.uint32)])
+        flat_sk = jnp.concatenate(
+            [recv_sk.reshape(-1),
+             jnp.full((cap_ss,), jnp.uint32(0xFFFFFFFE))])
+        flat_sv = jnp.concatenate(
+            [recv_sv.reshape(-1), jnp.zeros((cap_ss,), jnp.uint32)])
+
+        def assemble(flat_k, flat_v, qb, cap_c, cap_sub, sentinel, rg):
+            slot = jnp.arange(cap_sub, dtype=jnp.int32)
+            parts_k, parts_v = [], []
+            ok_rg = jnp.bool_(True)
+            for seg in range(n_seg):
+                start = jax.lax.dynamic_index_in_dim(qb[seg], rg, 0,
+                                                     keepdims=False)
+                end = jax.lax.dynamic_index_in_dim(qb[seg], rg + 1, 0,
+                                                   keepdims=False)
+                size = end - start
+                ok_rg = ok_rg & (size <= jnp.int32(cap_sub))
+                slk = jax.lax.dynamic_slice_in_dim(
+                    flat_k, seg * cap_c + start, cap_sub)
+                slv = jax.lax.dynamic_slice_in_dim(
+                    flat_v, seg * cap_c + start, cap_sub)
+                inside = slot < size
+                parts_k.append(jnp.where(inside, slk,
+                                         jnp.uint32(sentinel)))
+                parts_v.append(jnp.where(inside, slv, jnp.uint32(0)))
+            if n_seg > 1:
+                return (jnp.concatenate(parts_k),
+                        jnp.concatenate(parts_v), ok_rg)
+            return parts_k[0], parts_v[0], ok_rg
+
+        from ..utils.backend import pallas_interpret
+        gr = 8 if pallas_interpret() else rows_per_group
+
+        def body(rg, carry):
+            rra, sra, cnta, oks = carry
+            rk_a, rv_a, ok_r = assemble(flat_rk, flat_rv, qb_r, cap_cr,
+                                        cap_sr, 0xFFFFFFFF, rg)
+            sk_a, sv_a, ok_s = assemble(flat_sk, flat_sv, qb_s, cap_cs,
+                                        cap_ss, 0xFFFFFFFE, rg)
+            rbk, rrs = jax.lax.sort(
+                (bias_keys(rk_a), rv_a.astype(jnp.int32)), num_keys=1,
+                is_stable=False)
+            sbk, srs = jax.lax.sort(
+                (bias_keys(sk_a), sv_a.astype(jnp.int32)), num_keys=1,
+                is_stable=False)
+            out_srid, cnt, win_ok, multi = join_materialize_windowed(
+                rbk, sbk, srs, window_rows=window_rows,
+                rows_per_group=gr)
+            ok_k = (ok_r & ok_s & win_ok & ~multi).astype(jnp.int32)
+            return (jax.lax.dynamic_update_slice_in_dim(
+                        rra, rrs.astype(jnp.uint32)[None], rg, 0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        sra, out_srid[None], rg, 0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        cnta, cnt[None], rg, 0),
+                    jax.lax.dynamic_update_index_in_dim(oks, ok_k, rg, 0))
+
+        rra, sra, cnta, roks = jax.lax.fori_loop(
+            0, B, body,
+            (jnp.zeros((B, cap_rng), jnp.uint32),
+             jnp.zeros((B, cap_rng), jnp.int32),
+             jnp.zeros((B, cap_rng), jnp.int32),
+             jnp.zeros((B,), jnp.int32)))
+        return (rra[None], sra[None], cnta[None], roks[None], ok[None],
+                hh.keys, hh.valid,
+                hr_ix[None], hr_rid[None], hr_cnt[None],
+                hs_ix[None], hs_rid[None], hs_cnt[None])
+
+    sharded = NamedSharding(mesh, P(axis))
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis),) * 4,
+        out_specs=(P(axis),) * 5 + (P(), P()) + (P(axis),) * 6,
+        check_vma=False)
+
+    @jax.jit
+    def run(r: Relation, s: Relation):
+        rk = jax.lax.with_sharding_constraint(r.keys, sharded)
+        rr = jax.lax.with_sharding_constraint(r.rids, sharded)
+        sk = jax.lax.with_sharding_constraint(s.keys, sharded)
+        sr = jax.lax.with_sharding_constraint(s.rids, sharded)
+        return DistributedRangedRows(*mapped(rk, rr, sk, sr))
+
+    return run
+
+
+def make_distributed_join_ranged_rows_checked(mesh: Mesh, n_r_shard: int,
+                                              n_s_shard: int,
+                                              cfg: JoinConfig =
+                                              DEFAULT_CONFIG, **kw):
+    """Escalating form of :func:`make_distributed_join_ranged_rows`: a
+    tripped sub-range (capacity, emit window, or multi-match R row) or
+    all-written flag reruns the workload through the radix dense
+    materialising rung with the skew pre-pass
+    (make_distributed_join(materialize_dense=True, skew_aware=True) —
+    multi-match mass concentrates in heavy keys, which that rung lifts
+    into closed-form blocks).  Returns fn(r, s) -> (res, escalated) where
+    ``res`` is :class:`DistributedRangedRows` or (escalated)
+    :class:`DistributedJoinRowsDenseSkew` — the two share the heavy-block
+    helpers and their totals functions agree.  Raises if the terminal
+    rung itself trips (light-side multi-match below the heavy threshold:
+    use make_distributed_join(materialize_max_out=...) with an explicit
+    output bound)."""
+    fast = make_distributed_join_ranged_rows(mesh, n_r_shard, n_s_shard,
+                                             cfg, **kw)
+    terminal = None
+
+    def run(r: Relation, s: Relation):
+        nonlocal terminal
+        res = fast(r, s)
+        if ranged_rows_ok(res):
+            return res, False
+        if terminal is None:
+            terminal = make_distributed_join(
+                mesh, n_r_shard, n_s_shard, cfg,
+                materialize_dense=True, skew_aware=True)
+        res2 = terminal(r, s)
+        if not bool(np.all(_fetch(res2.ok))):
+            raise RuntimeError(
+                "dense materialising rung tripped after escalation — "
+                "light-side multi-match rows; rerun with "
+                "make_distributed_join(materialize_max_out=...)")
+        return res2, True
+
+    return run
+
+
 class DistributedJoinRowsDenseSkew(NamedTuple):
     """Dense materialising output under the skew_aware pre-pass (round 5,
     reference probe_skew emits pairs, kernels_optimized.cu:364-457):

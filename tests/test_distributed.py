@@ -503,3 +503,154 @@ def test_distributed_rows_dense_skew_full_rowset(mesh8):
     # heavy blocks carry ORIGINAL rids; rows are (r_rid, s_rid) products
     assert got == want
     assert total_rows_dense_skew(res) == len(want)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 materialising RANGED distributed join
+# (make_distributed_join_ranged_rows)
+# ---------------------------------------------------------------------------
+
+
+def _ranged_rows_pairs(res):
+    """Collect the light (r_rid, s_rid) pairs from a DistributedRangedRows
+    (requires every light count <= 1) plus the heavy block products."""
+    from radixjoin_tpu.engine.distributed import heavy_row_blocks
+    cnt = np.asarray(res.counts)
+    assert (cnt <= 1).all(), "light rows must be unique-match here"
+    rr_ = np.asarray(res.r_rids)
+    sr_ = np.asarray(res.s_rids)
+    m = cnt == 1
+    got = set(zip(rr_[m].tolist(), sr_[m].tolist()))
+    for _key, (hr, hs) in heavy_row_blocks(res).items():
+        for a in hr.tolist():
+            for b in hs.tolist():
+                got.add((a, b))
+    return got
+
+
+@pytest.mark.parametrize("chunks", [1, 2])
+def test_distributed_ranged_rows_unique(mesh8, chunks):
+    """Rows form of the fused ranged path: dense unique keys reconstruct
+    the exact oracle row set through the chunk-sorted rid planes and the
+    per-range windowed emit."""
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged_rows, total_distributed_rows_ranged,
+        ranged_rows_ok)
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    r = gen.fill_unique(n, jax.random.key(50))
+    s = gen.fill_unique(n, jax.random.key(51))
+    rk, rr_np = np.asarray(r.keys), np.asarray(r.rids)
+    sk, sr_np = np.asarray(s.keys), np.asarray(s.rids)
+    key2rrid = {int(k): int(rid) for k, rid in zip(rk, rr_np)}
+    want = {(key2rrid[int(k)], int(rid)) for k, rid in zip(sk, sr_np)}
+    run = make_distributed_join_ranged_rows(mesh8, per, per, CFG,
+                                            local_ranges=8,
+                                            send_chunks=chunks)
+    res = run(r, s)
+    assert ranged_rows_ok(res), "capacity/emit should hold at these sizes"
+    assert _ranged_rows_pairs(res) == want
+    assert total_distributed_rows_ranged(res) == len(want)
+
+
+def test_distributed_ranged_rows_sentinel_preimages(mesh8):
+    """Sentinel-zone relabel preimages must come back as heavy block
+    products with ORIGINAL rids, never cross the wire."""
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged_rows, total_distributed_rows_ranged,
+        ranged_rows_ok)
+    n_dev = 8
+    per = 1024
+    n = per * n_dev
+    inv = pow(0x9E3779B1, -1, 1 << 32)
+    rng = np.random.default_rng(52)
+    rk = (rng.permutation(n).astype(np.uint32) * np.uint32(2)
+          + np.uint32(10 ** 6))          # unique, off the preimage values
+    sk = (rng.permutation(n).astype(np.uint32) * np.uint32(2)
+          + np.uint32(10 ** 6))
+    for i in range(4):                   # 4 preimages, multi-copy both sides
+        p = ((0xFFFFFFF0 + i) * inv) % (1 << 32)
+        rk[i * 3:(i + 1) * 3] = p
+        sk[i * 5:(i + 1) * 5] = p
+    rr_np = np.arange(n, dtype=np.uint32)
+    sr_np = np.arange(n, dtype=np.uint32)
+    want = set()
+    for k in np.intersect1d(rk, sk):
+        for a in np.where(rk == k)[0]:
+            for b in np.where(sk == k)[0]:
+                want.add((int(a), int(b)))
+    run = make_distributed_join_ranged_rows(mesh8, per, per, CFG,
+                                            local_ranges=4, send_chunks=1)
+    res = run(make_relation(rk, rr_np), make_relation(sk, sr_np))
+    assert ranged_rows_ok(res)
+    assert _ranged_rows_pairs(res) == want
+    assert total_distributed_rows_ranged(res) == len(want)
+
+
+def test_distributed_ranged_rows_skew_aware(mesh8):
+    """A hot key's rows come back as a closed-form block via the skew
+    pre-pass; light rows stay dense — full row set exact."""
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged_rows, total_distributed_rows_ranged,
+        ranged_rows_ok)
+    n_dev = 8
+    per = 2048
+    n = per * n_dev
+    hot = n // 4
+    rng = np.random.default_rng(53)
+    r = gen.fill_unique(n, jax.random.key(54))
+    rk, rr_np = np.asarray(r.keys), np.asarray(r.rids)
+    perm = rng.permutation(n).astype(np.uint32)
+    sk = np.concatenate([perm[:n - hot], np.full(hot, 321, np.uint32)])
+    sr_np = np.arange(n, dtype=np.uint32)
+    order = rng.permutation(n)
+    sk, sr_np = sk[order], sr_np[order]
+    key2rrid = {int(k): int(rid) for k, rid in zip(rk, rr_np)}
+    want = {(key2rrid[int(k)], int(rid)) for k, rid in zip(sk, sr_np)}
+    run = make_distributed_join_ranged_rows(mesh8, per, per, CFG,
+                                            local_ranges=8, send_chunks=1,
+                                            skew_aware=True)
+    res = run(r, make_relation(sk, sr_np))
+    assert ranged_rows_ok(res), "heavy pre-pass should keep capacity"
+    assert _ranged_rows_pairs(res) == want
+    assert total_distributed_rows_ranged(res) == len(want)
+
+
+def test_distributed_ranged_rows_checked_escalates(mesh8):
+    """A hot key with skew_aware OFF trips the per-range emit (multi-match
+    R rows); the checked wrapper recovers the full row set through the
+    radix dense+skew rung."""
+    from radixjoin_tpu.engine.distributed import (
+        make_distributed_join_ranged_rows,
+        make_distributed_join_ranged_rows_checked,
+        heavy_row_blocks, ranged_rows_ok, total_rows_dense_skew)
+    n_dev = 8
+    per = 1024
+    n = per * n_dev
+    hot = n // 4
+    rng = np.random.default_rng(55)
+    r = gen.fill_unique(n, jax.random.key(56))
+    rk, rr_np = np.asarray(r.keys), np.asarray(r.rids)
+    # hot key 321 on BOTH sides: per-range dup mass -> emit multi trips
+    sk = np.asarray(gen.fill_unique(n, jax.random.key(57)).keys).copy()
+    sk[:hot] = rk[0]
+    sr_np = np.arange(n, dtype=np.uint32)
+    order = rng.permutation(n)
+    sk, sr_np = sk[order], sr_np[order]
+    rk2 = rk.copy()
+    rk2[1:17] = rk[0]                   # dup rows on R too
+    r2 = make_relation(rk2, rr_np)
+    key2cnt_r = {}
+    for k in rk2:
+        key2cnt_r[int(k)] = key2cnt_r.get(int(k), 0) + 1
+    want_total = _np_join_count(rk2, sk)
+    kw = dict(local_ranges=8, send_chunks=1)
+    run = make_distributed_join_ranged_rows(mesh8, per, per, CFG, **kw)
+    res = run(r2, make_relation(sk, sr_np))
+    assert not ranged_rows_ok(res), "hot-key dup rows should trip emit"
+    checked = make_distributed_join_ranged_rows_checked(mesh8, per, per,
+                                                        CFG, **kw)
+    res2, escalated = checked(r2, make_relation(sk, sr_np))
+    assert escalated
+    assert total_rows_dense_skew(res2) == want_total
