@@ -329,7 +329,7 @@ def run_distributed_ranged_config(n: int, reps: int, meas, cfg,
 
 
 def run_distributed_ranged_rows_config(n: int, reps: int, meas, cfg,
-                                       variants=((64, 128, 1.15),)):
+                                       variants=((64, 128, 1.15, 32),)):
     """MATERIALISING fused ranged distributed join on the real chip
     (round 5, the rows form of run_distributed_ranged_config): rid planes
     ride the chunk sorts and the wire; each local sub-range runs the
@@ -350,12 +350,13 @@ def run_distributed_ranged_rows_config(n: int, reps: int, meas, cfg,
         _sync(r.keys); _sync(s.keys)
 
     best = None
-    for chunks, ranges, slack in variants:
-        tag = f"C{chunks}_B{ranges}_s{int(slack*100)}"
+    for chunks, ranges, slack, rpg in variants:
+        tag = f"C{chunks}_B{ranges}_s{int(slack*100)}_g{rpg}"
         run = make_distributed_join_ranged_rows(mesh, n, n, cfg,
                                                 local_ranges=ranges,
                                                 send_chunks=chunks,
-                                                range_slack=slack)
+                                                range_slack=slack,
+                                                rows_per_group=rpg)
         with meas.phase(f"COMPILE_{tag}"):
             res = run(r, s)
             _sync(res.counts)

@@ -91,6 +91,31 @@ def main():
         assert ranged_ok(res), "ranged capacity/invariant tripped"
         got = total_distributed_matches_ranged(res)
         assert got == want, f"rank {pid}: {got} != {want}"
+    elif variant == "ranged-rows":
+        # round-5 materialising ranged path across the process boundary:
+        # rid planes through the chunk sorts + per-range emit; unique
+        # 1:1 keys so every light count is 1 and each rid appears once
+        from radixjoin_tpu.engine.distributed import (
+            make_distributed_join_ranged_rows,
+            total_distributed_rows_ranged, ranged_rows_ok,
+            heavy_row_blocks)
+        rku = rng.permutation(n).astype(np.uint32)
+        sku = rng.permutation(n).astype(np.uint32)
+        want = n
+        run = make_distributed_join_ranged_rows(mesh, per, per, cfg,
+                                                local_ranges=4,
+                                                send_chunks=2)
+        res = run(Relation(garr(rku), garr(rr)),
+                  Relation(garr(sku), garr(rr)))
+        assert ranged_rows_ok(res), "ranged-rows capacity/emit tripped"
+        got = total_distributed_rows_ranged(res)
+        assert got == want, f"rank {pid}: {got} != {want}"
+        cnt = _fetch(res.counts)
+        m = cnt == 1
+        sum_s = int(_fetch(res.s_rids)[m].astype(np.int64).sum())
+        for _k, (hr, hs) in heavy_row_blocks(res).items():
+            sum_s += int(hs.astype(np.int64).sum()) * len(hr)
+        assert sum_s == n * (n - 1) // 2, "s-rid checksum mismatch"
     elif variant == "materialize":
         run = make_distributed_join(mesh, per, per, cfg,
                                     materialize_max_out=4 * per)

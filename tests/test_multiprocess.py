@@ -63,7 +63,7 @@ def _launch(nproc: int, variant: str = "plain", timeout: float = 420.0):
 #     psum counts cross 4 processes.
 @pytest.mark.parametrize("nproc,variant",
                          [(2, "plain"), (3, "materialize"), (4, "skew"),
-                          (2, "ranged")])
+                          (2, "ranged"), (2, "ranged-rows")])
 def test_multiprocess_distributed_join(nproc, variant):
     procs, outs = _launch(nproc, variant)
     for pid, (p, out) in enumerate(zip(procs, outs)):
