@@ -860,7 +860,9 @@ def make_distributed_join_ranged_rows(mesh: Mesh, n_r_shard: int,
                                       range_slack: float = 1.35,
                                       skew_aware: bool = False,
                                       window_rows: int = 4,
-                                      rows_per_group: int = 32):
+                                      rows_per_group: int = 32,
+                                      emit: str | None = None,
+                                      k_drift: int = 8):
     """MATERIALISING fused ranged distributed join (round 5 — the rows
     form of :func:`make_distributed_join_ranged`; reference `probe` emits
     (rId, sId) pairs at claimed slots, kernels.cu:236-243, and its skew
@@ -883,11 +885,27 @@ def make_distributed_join_ranged_rows(mesh: Mesh, n_r_shard: int,
         (candidate_index, rid) lists whose per-key cross products ARE the
         output — O(rows) storage for O(rows^2) join rows.
 
+    ``emit``: "diagonal" runs the prep-free diagonal emit kernel per
+    sub-range (per-row alignment derived in the band — no window-prep
+    sorts; needs locally balanced sides, the relabeled light domain's
+    home regime); "windowed" keeps the windowed emit kernel (exact
+    per-row offsets — robust to side imbalance).  Default auto-selects:
+    diagonal for balanced non-skew workloads, windowed when skew_aware
+    (the heavy pre-pass removes mass ONE-sidedly, skewing |R|/|S| per
+    range past the diagonal's slope tolerance) or when the shard sizes
+    differ.  Either kernel's coverage trip flips range_ok -> checked
+    escalation.
+
     Returns fn(r: Relation, s: Relation) -> :class:`DistributedRangedRows`;
     totals via :func:`total_distributed_rows_ranged`, heavy blocks via
     :func:`heavy_row_blocks`, validity via :func:`ranged_rows_ok`.
     """
     from ..config import next_multiple
+
+    if emit is None:
+        emit = "windowed" if (skew_aware or n_r_shard != n_s_shard) \
+            else "diagonal"
+    assert emit in ("diagonal", "windowed"), emit
 
     axis = cfg.mesh_axis
     n_dev = mesh.devices.size
@@ -1109,9 +1127,14 @@ def make_distributed_join_ranged_rows(mesh: Mesh, n_r_shard: int,
             sbk, srs = jax.lax.sort(
                 (bias_keys(sk_a), sv_a.astype(jnp.int32)), num_keys=1,
                 is_stable=False)
-            out_srid, cnt, win_ok, multi = join_materialize_windowed(
-                rbk, sbk, srs, window_rows=window_rows,
-                rows_per_group=gr)
+            if emit == "diagonal":
+                from ..ops.buildprobe import join_materialize_diagonal
+                out_srid, cnt, win_ok, multi = join_materialize_diagonal(
+                    rbk, sbk, srs, k_drift=k_drift, rows_per_group=gr)
+            else:
+                out_srid, cnt, win_ok, multi = join_materialize_windowed(
+                    rbk, sbk, srs, window_rows=window_rows,
+                    rows_per_group=gr)
             ok_k = (ok_r & ok_s & win_ok & ~multi).astype(jnp.int32)
             return (jax.lax.dynamic_update_slice_in_dim(
                         rra, rrs.astype(jnp.uint32)[None], rg, 0),

@@ -695,7 +695,9 @@ def join_rows_keys_ranged_runs(r_source, s_source, runs: int,
                                domain: int, consume,
                                window_rows: int = 4,
                                rows_per_group: int = 32,
-                               sync=None):
+                               sync=None,
+                               emit: str | None = None,
+                               k_drift: int = 8):
     """Materialising join via value-range-partitioned (key, rid) runs —
     the row-producing sibling of ``join_count_keys_runs(ranged_domain=)``
     for sides beyond the 2^28 2-operand sort cap.
@@ -708,16 +710,25 @@ def join_rows_keys_ranged_runs(r_source, s_source, runs: int,
     (the caller samples/checksums/streams as it pleases; a full host pull
     of 1B rows is relay-bandwidth-bound here, not engine-bound).
 
+    ``emit``: "diagonal" (prep-free diagonal emit kernel — no window-prep
+    sorts; needs balanced pair sides) or "windowed"; default auto-selects
+    diagonal when the run sizes match.  A diagonal coverage trip flips
+    ``ok`` exactly like a window overflow.
+
     Returns (total_rows: int, ok: bool).  ok False when a range check or
     window/multi flag tripped — counts may be partial; escalate to the
     counting paths or partition-scale materialisation.
     """
+    from ..ops.buildprobe import join_materialize_diagonal
     sync = sync or (lambda x: None)
     assert n_r_total % runs == 0 and n_s_total % runs == 0
     assert domain % runs == 0
     nr = n_r_total // runs
     ns = n_s_total // runs
     span = domain // runs
+    if emit is None:
+        emit = "diagonal" if nr == ns else "windowed"
+    assert emit in ("diagonal", "windowed"), emit
 
     def _bias_const(u):
         return int(np.int32(np.uint32(u) ^ np.uint32(0x80000000)))
@@ -735,9 +746,14 @@ def join_rows_keys_ranged_runs(r_source, s_source, runs: int,
         sbk, srs = _sort_key_rid(sk, sr)
         sin = (sbk[0] >= lo_b) & (sbk[ns - 1] <= hi_b)
         sync(sbk)
-        out_srid, cnt, win_ok, multi = join_materialize_windowed(
-            rbk, sbk, srs, window_rows=window_rows,
-            rows_per_group=rows_per_group)
+        if emit == "diagonal":
+            out_srid, cnt, win_ok, multi = join_materialize_diagonal(
+                rbk, sbk, srs, k_drift=k_drift,
+                rows_per_group=rows_per_group)
+        else:
+            out_srid, cnt, win_ok, multi = join_materialize_windowed(
+                rbk, sbk, srs, window_rows=window_rows,
+                rows_per_group=rows_per_group)
         pair_rows = jnp.sum(cnt)
         sync(pair_rows)
         ok = ok and bool(rin) and bool(sin) and bool(win_ok) \

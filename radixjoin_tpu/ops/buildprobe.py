@@ -920,6 +920,265 @@ def probe_count_diagonal_reference(r_keys: jnp.ndarray, s_keys: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Diagonal EMIT kernel — materialisation at diagonal-probe cost.
+#
+# The windowed emit kernel (join_materialize_windowed) needs a host-side
+# window-prep pass (per-row S window offsets via sorted-query ranks — two
+# extra device sorts per call), which is the dominant cost of the
+# materialising paths over their counting twins.  The diagonal probe
+# derives per-row alignment IN the band (count-less-than against the row
+# head) and needs no prep at all — this kernel extends it to emit: the S
+# RID band rides a second DMA alongside the key band, realigned by the
+# same per-row element-granular shift, and the +-K shift loop accumulates
+# per-R-LANE match counts and matched-rid SUMS (the dense convention:
+# where count == 1 the rid sum IS the partner's rid; count > 1 flags
+# ``multi`` exactly like the windowed kernel).
+#
+# Coordinate note: the count kernel rolls R forward and accumulates in
+# the S-offset coordinate (only totals matter there).  Emit needs
+# per-R-lane planes, so the S windows roll BACKWARD instead: for drift
+# d in [0, K], lane l pairs S[e+l+d] = select(l < 128-d, roll(s0, 128-d),
+# roll(s1, 128-d))[l]; for d in [-K, -1], S[e+l+d] = roll(s0, -d)[l]
+# (offsets below e hold no matches: e counts band elements < the row
+# head, so S[q < e] < head <= r[l]).  Wrapped lanes pair out-of-band
+# offsets; a real match there trips the unchanged monotone-envelope
+# coverage check and discards the whole result (``ok`` False), exactly
+# like the count kernel's uniqueness argument.  Reference: the probe
+# kernels emit (rId, sId) pairs at claimed slots, kernels.cu:199-246;
+# here the dense per-R-row planes replace the atomic output claiming.
+# ---------------------------------------------------------------------------
+
+
+def _emit_diag_kernel_blocked(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
+                              v_ref, acc_ref, cnt_ref, srid_ref,
+                              scr_k, scr_v, sem_k, sem_v):
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    k = jax.lax.rem(g, _ROWS)
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def band_dma(gi, sl):
+        return (pltpu.make_async_copy(
+                    s_ref.at[pl.ds(wg_ref[gi], b8), :], scr_k.at[sl],
+                    sem_k.at[sl]),
+                pltpu.make_async_copy(
+                    v_ref.at[pl.ds(wg_ref[gi], b8), :], scr_v.at[sl],
+                    sem_v.at[sl]))
+
+    @pl.when(g == 0)
+    def _():
+        for c in band_dma(0, 0):
+            c.start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        for c in band_dma(g + 1, jax.lax.rem(g + 1, 2)):
+            c.start()
+
+    for c in band_dma(g, slot):
+        c.wait()
+
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    lanes8 = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
+    band = scr_k[slot]                                  # (b8, 128)
+
+    viol8 = jnp.zeros((_ROWS, 128), jnp.int32)
+    ov = jnp.int32(0)
+    total = jnp.int32(0)
+    for j in range(gr // _ROWS):
+        r8 = rk_ref[pl.ds(j * _ROWS, _ROWS), :]         # (8, 128)
+        s0_rows, s1_rows = [], []
+        v0_rows, v1_rows = [], []
+        for i in range(_ROWS):
+            rrow = rk_ref[j * _ROWS + i:j * _ROWS + i + 1, :]
+            head = rrow[0, 0]
+            rvalid_s = (head != jnp.int32(_R_SENT_B)).astype(jnp.int32)
+            e_raw = jnp.sum((band < head).astype(jnp.int32))
+            ov = ov + (e_raw > e_cap).astype(jnp.int32) * rvalid_s
+            e = jnp.clip(e_raw, 0, e_cap) * rvalid_s
+            base = e // 128
+            ksh = e - base * 128
+            sh_al = jax.lax.rem(128 - ksh, 128)
+            a = scr_k[slot, pl.ds(base, 2), :]
+            b = scr_k[slot, pl.ds(base + 1, 2), :]
+            rol_a = pltpu.roll(a, sh_al, axis=1)
+            rol_b = pltpu.roll(b, sh_al, axis=1)
+            swin = jnp.where(lanes2 < 128 - ksh, rol_a, rol_b)
+            s0_rows.append(swin[0:1, :])
+            s1_rows.append(swin[1:2, :])
+            va = scr_v[slot, pl.ds(base, 2), :]
+            vb = scr_v[slot, pl.ds(base + 1, 2), :]
+            rol_va = pltpu.roll(va, sh_al, axis=1)
+            rol_vb = pltpu.roll(vb, sh_al, axis=1)
+            vwin = jnp.where(lanes2 < 128 - ksh, rol_va, rol_vb)
+            v0_rows.append(vwin[0:1, :])
+            v1_rows.append(vwin[1:2, :])
+        s0 = jnp.concatenate(s0_rows, axis=0)           # (8, 128)
+        s1 = jnp.concatenate(s1_rows, axis=0)
+        v0 = jnp.concatenate(v0_rows, axis=0)
+        v1 = jnp.concatenate(v1_rows, axis=0)
+
+        # drift d = 0: lane l pairs S[e + l] = s0[l]
+        eq = (s0 == r8).astype(jnp.int32)
+        cnt8 = eq
+        rid8 = eq * v0
+        for d in range(1, K + 1):
+            # d > 0: S[e+l+d] — s0 wraps into s1 at lane 128-d
+            sk_d = jnp.where(lanes8 < 128 - d,
+                             pltpu.roll(s0, 128 - d, axis=1),
+                             pltpu.roll(s1, 128 - d, axis=1))
+            sv_d = jnp.where(lanes8 < 128 - d,
+                             pltpu.roll(v0, 128 - d, axis=1),
+                             pltpu.roll(v1, 128 - d, axis=1))
+            eq = (sk_d == r8).astype(jnp.int32)
+            cnt8 = cnt8 + eq
+            rid8 = rid8 + eq * sv_d
+            # d < 0: S[e+l-d'] with d' = d — s0 only (no matches below e;
+            # wrapped lanes pair offsets ~128 ahead, guarded by coverage)
+            sk_n = pltpu.roll(s0, d, axis=1)
+            sv_n = pltpu.roll(v0, d, axis=1)
+            eq = (sk_n == r8).astype(jnp.int32)
+            cnt8 = cnt8 + eq
+            rid8 = rid8 + eq * sv_n
+
+        cnt_ref[pl.ds(j * _ROWS, _ROWS), :] = cnt8
+        srid_ref[pl.ds(j * _ROWS, _ROWS), :] = rid8
+        total = total + jnp.sum(cnt8)
+
+        rvalid = (r8 != jnp.int32(_R_SENT_B)).astype(jnp.int32)
+        c0 = pltpu.roll(s0, 127 - K, axis=1)            # s[(l+K+1) % 128]
+        c1 = pltpu.roll(s1, 127 - K, axis=1)
+        s_hi = jnp.where(lanes8 < 127 - K, c0, c1)      # s[l+K+1]
+        viol8 = viol8 + (s_hi <= r8).astype(jnp.int32) * rvalid
+        c2 = pltpu.roll(s0, K + 1, axis=1)              # s[(l-K-1) % 128]
+        v2 = (c2 >= r8).astype(jnp.int32) * rvalid
+        viol8 = viol8 + jnp.where(lanes8 >= K + 1, v2, 0)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
+    acc_ref[...] += \
+        jnp.where((iota_r == k) & (iota_l == 0), total, 0) \
+        + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol8) + ov, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group",
+                                             "band_blocks", "interpret",
+                                             "prepadded"))
+def join_materialize_diagonal(r_sorted: jnp.ndarray,
+                              s_sorted: jnp.ndarray,
+                              s_rids: jnp.ndarray,
+                              k_drift: int = 16,
+                              rows_per_group: int = 32,
+                              band_blocks: int | None = None,
+                              interpret: bool | None = None,
+                              prepadded: tuple[int, int] | None = None):
+    """Materialising diagonal rank-band join (prep-free emit).
+
+    Same contract as :func:`join_materialize_windowed` — biased-int32
+    key-sorted inputs, int32 rids co-sorted with S — but the per-row
+    alignment is derived in the band like :func:`probe_count_diagonal`,
+    so there is NO window-prep pass (the windowed kernel's two
+    sorted-query rank sorts).  Returns (s_rid_i32[n_r], count_i32[n_r],
+    ok, multi) aligned to the sorted R order: where count == 1,
+    ``s_rid[i]`` is the partner's rid; count > 1 rows carry rid SUMS and
+    flip ``multi``.  ``ok`` False = a match or rank drift fell outside
+    the +-``k_drift`` band (or a band DMA overflowed) — counts AND rids
+    are then unreliable, escalate to join_materialize_windowed /
+    join_materialize.  Needs locally balanced sides like the count
+    probe.  ``prepadded=(n_r, n_s)``: inputs already carry
+    :func:`diagonal_prepad` padding (s_rids zero-padded to the same
+    n_s_pad).
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    K = k_drift
+    if prepadded is not None:
+        n_r, n_s = prepadded
+    else:
+        n_r = r_sorted.shape[0]
+        n_s = s_sorted.shape[0]
+    # budget=512 (vs the count kernel's 1024): the emit body carries ~2x
+    # the live unrolled temporaries per shift (key + rid windows, eq +
+    # two accumulators); rows_per_group=96 at K=8 under the 1024 budget
+    # CRASHED the remote compiler (scoped-vmem blowup).  gr <= 64 at
+    # K=8 is unaffected, so diagonal_prepad interop holds for the
+    # standard configs.
+    gr, b8, gelems, n_groups8, n_r_pad, n_s_pad = _diag_geometry(
+        n_r, n_s, K, rows_per_group, band_blocks, budget=512)
+
+    rk, sk, sv = r_sorted, s_sorted, s_rids
+    if prepadded is not None:
+        assert rk.shape[0] == n_r_pad and sk.shape[0] == n_s_pad \
+            and sv.shape[0] == n_s_pad, \
+            "prepadded shapes disagree with geometry (same params?)"
+    else:
+        if n_r_pad != n_r:
+            rk = jnp.concatenate(
+                [rk, jnp.full((n_r_pad - n_r,), jnp.int32(_R_SENT_B))])
+        sk = jnp.concatenate(
+            [sk, jnp.full((n_s_pad - n_s,), jnp.int32(_S_SENT_B))])
+        sv = jnp.concatenate(
+            [sv.astype(jnp.int32),
+             jnp.zeros((n_s_pad - n_s,), jnp.int32)])
+    r2d = rk.reshape(-1, 128)
+    s2d = sk.reshape(-1, 128)
+    v2d = sv.reshape(-1, 128)
+    s_max_row = s2d.shape[0] - b8
+
+    gheads = rk[::gelems]                                   # (n_groups8,)
+    s_heads = sk[::128]
+    t0 = jnp.searchsorted(s_heads, gheads, side="left").astype(jnp.int32)
+    wg = jnp.clip(t0 - 1, 0, s_max_row)
+    e_cap = (b8 - 3) * 128
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups8,),
+        in_specs=[
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((_ROWS, 128), lambda g, wg_: (g // _ROWS, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, 128), lambda g, wg_: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.VMEM((2, b8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    acc, cnt2d, srid2d = pl.pallas_call(
+        functools.partial(_emit_diag_kernel_blocked, K, b8, gr, e_cap),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups8 * gr, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups8 * gr, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(wg, r2d, s2d, v2d)
+    cnt = cnt2d.reshape(-1)[:n_r] if prepadded is None else \
+        cnt2d.reshape(-1)
+    srid = srid2d.reshape(-1)[:n_r] if prepadded is None else \
+        srid2d.reshape(-1)
+    ok = jnp.sum(acc[:, 1]) == 0
+    multi = jnp.any(cnt > 1)
+    return srid, cnt, ok, multi
+
+
+# ---------------------------------------------------------------------------
 # Tiered probe — partition-level skew handling (see ops/skew.py §1; the
 # reference's block-remapping probes, kernels_optimized.cu:321-457, become
 # repeated fixed-capacity passes over geometrically growing tiers).

@@ -877,3 +877,22 @@ def test_join_rows_skew_runs_full_rowset():
         assert len(hr) == 1 and key2rrid[int(key)] == int(hr[0])
     assert total == len(want) == len(got)
     assert got == want
+
+
+def test_outofcore_modulo_protocol():
+    """The 4B x 4B BASELINE driver's self-validating workload at test
+    scale: fill_modulo(n, n // dup) puts exactly dup copies of each of
+    n/dup keys on each side, so matches == (n/dup) * dup^2 with no
+    oracle pass over the data (the only exact form once n exceeds the
+    u32 key domain; benchmarks/tpu_ooc_check.py --workload modulo)."""
+    from radixjoin_tpu import native
+    n = 1 << 13
+    dup = 2
+    inner = n // dup
+    rk, _ = native.fill_modulo(n, inner, seed=40)
+    sk, _ = native.fill_modulo(n, inner, seed=41)
+    want = inner * dup * dup
+    got = join_count_outofcore(
+        rk, np.empty(0, np.uint32), sk, np.empty(0, np.uint32),
+        CFG, coarse_bits=5, spill="host", mode="diagonal")
+    assert got == want

@@ -725,3 +725,47 @@ def test_aggregate_sum_exact_max_groups_equals_n():
         got = {int(k): int(s) for k, s, v in
                zip(np.asarray(gk), sums, np.asarray(valid)) if v}
         assert got == {2: 4, 5: 3, 9: 3}
+
+
+def test_join_materialize_diagonal_matches_windowed():
+    """Prep-free diagonal emit kernel: bit-identical (count, rid) planes
+    to the windowed emit kernel on balanced sorted sides, including the
+    multi-match rid-sum convention, and escalation parity on skew."""
+    rng = np.random.default_rng(36)
+    n = 4096
+    for dup in (1, 2):
+        if dup == 1:
+            rk = rng.permutation(n).astype(np.uint32)
+            sk = rng.permutation(n).astype(np.uint32)
+        else:
+            rk = rng.permutation(n).astype(np.uint32)
+            sk = np.repeat(rng.permutation(n // dup).astype(np.uint32) * 2,
+                           dup)
+            rng.shuffle(sk)
+        sr = np.arange(n, dtype=np.uint32)
+        rbk, = jax.lax.sort((bp.bias_keys(jnp.asarray(rk)),), num_keys=1)
+        sbk, srs = jax.lax.sort(
+            (bp.bias_keys(jnp.asarray(sk), None, 0xFFFFFFFE),
+             jnp.asarray(sr).astype(jnp.int32)), num_keys=1)
+        srid_d, cnt_d, ok_d, multi_d = bp.join_materialize_diagonal(
+            rbk, sbk, srs, k_drift=8, rows_per_group=16)
+        srid_w, cnt_w, ok_w, multi_w = bp.join_materialize_windowed(
+            rbk, sbk, srs, rows_per_group=8)
+        assert bool(ok_d) and bool(ok_w)
+        assert bool(multi_d) == bool(multi_w) == (dup == 2)
+        np.testing.assert_array_equal(np.asarray(cnt_d), np.asarray(cnt_w))
+        np.testing.assert_array_equal(np.asarray(srid_d),
+                                      np.asarray(srid_w))
+    # a heavy dup run must trip the coverage check (drift > K), not
+    # return silently wrong planes
+    sk_hot = rng.permutation(n).astype(np.uint32)
+    sk_hot[: n // 2] = 7
+    rk_hot = rng.permutation(n).astype(np.uint32)
+    rk_hot[: n // 4] = 7
+    rb, = jax.lax.sort((bp.bias_keys(jnp.asarray(rk_hot)),), num_keys=1)
+    sb, ss = jax.lax.sort(
+        (bp.bias_keys(jnp.asarray(sk_hot), None, 0xFFFFFFFE),
+         jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    _, _, ok_hot, _ = bp.join_materialize_diagonal(
+        rb, sb, ss, k_drift=8, rows_per_group=16)
+    assert not bool(ok_hot)
