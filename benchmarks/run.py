@@ -333,7 +333,8 @@ def run_distributed_ranged_rows_config(n: int, reps: int, meas, cfg,
     """MATERIALISING fused ranged distributed join on the real chip
     (round 5, the rows form of run_distributed_ranged_config): rid planes
     ride the chunk sorts and the wire; each local sub-range runs the
-    windowed emit kernel inside the fori_loop executable.  Oracle: dense
+    emit kernel (diagonal by default — the prep-free rung; see the
+    maker's ``emit`` knob) inside the fori_loop executable.  Oracle: dense
     unique keys both sides — every R row matches exactly once, so the
     light counts + heavy 1x1 blocks total n, and the rid checksums equal
     n(n-1)/2 per side (each rid appears exactly once in the output)."""
@@ -663,8 +664,9 @@ def run_northstar_steady_config(n: int, reps: int, meas, k: int = 8):
 
 def run_northstar_rows_config(n: int, reps: int, meas):
     """Materialising join at scale (VERDICT r1 item 5): (r_rid, s_rid) row
-    production through the windowed emit kernel over ranged (key, rid)
-    runs.  Rows stay on device (a full host pull is relay-bound here);
+    production through the emit kernels (diagonal by default on these
+    balanced runs, windowed retry on a coverage trip) over ranged
+    (key, rid) runs.  Rows stay on device (a full host pull is relay-bound here);
     benchmarks/tpu_rows_check.py is the verification twin that samples
     rows bit-exactly and checks rid checksums per pair.
     """

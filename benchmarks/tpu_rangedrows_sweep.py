@@ -25,7 +25,6 @@ def main():
     run_distributed_ranged_rows_config(
         1 << args.logn, args.reps, meas, cfg,
         variants=((64, 128, 1.15, 64),
-                  (64, 128, 1.15, 96),
                   (64, 256, 1.15, 64)))
     meas.print_summary()
 

@@ -711,9 +711,12 @@ def join_rows_keys_ranged_runs(r_source, s_source, runs: int,
     of 1B rows is relay-bandwidth-bound here, not engine-bound).
 
     ``emit``: "diagonal" (prep-free diagonal emit kernel — no window-prep
-    sorts; needs balanced pair sides) or "windowed"; default auto-selects
-    diagonal when the run sizes match.  A diagonal coverage trip flips
-    ``ok`` exactly like a window overflow.
+    sorts; needs balanced pair sides) or "windowed"; default (None)
+    auto-selects diagonal when the run sizes match AND retries any pair
+    whose diagonal coverage tripped through the windowed kernel (exact
+    per-row offsets — robust to rank drift the +-K band can't absorb),
+    so auto mode is never weaker than the windowed path.  An explicit
+    emit="diagonal" skips the retry and reports the trip in ``ok``.
 
     Returns (total_rows: int, ok: bool).  ok False when a range check or
     window/multi flag tripped — counts may be partial; escalate to the
@@ -726,6 +729,7 @@ def join_rows_keys_ranged_runs(r_source, s_source, runs: int,
     nr = n_r_total // runs
     ns = n_s_total // runs
     span = domain // runs
+    auto = emit is None
     if emit is None:
         emit = "diagonal" if nr == ns else "windowed"
     assert emit in ("diagonal", "windowed"), emit
@@ -750,6 +754,14 @@ def join_rows_keys_ranged_runs(r_source, s_source, runs: int,
             out_srid, cnt, win_ok, multi = join_materialize_diagonal(
                 rbk, sbk, srs, k_drift=k_drift,
                 rows_per_group=rows_per_group)
+            if auto and not bool(win_ok):
+                # rank drift beyond +-K on this pair (coverage trip) —
+                # the windowed kernel's exact per-row offsets absorb any
+                # drift, so auto mode retries rather than reporting a
+                # capability regression vs the pre-diagonal default
+                out_srid, cnt, win_ok, multi = join_materialize_windowed(
+                    rbk, sbk, srs, window_rows=window_rows,
+                    rows_per_group=rows_per_group)
         else:
             out_srid, cnt, win_ok, multi = join_materialize_windowed(
                 rbk, sbk, srs, window_rows=window_rows,

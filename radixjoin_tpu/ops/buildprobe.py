@@ -668,6 +668,50 @@ def _probe_diag_kernel(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
         + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol), 0)
 
 
+def _diag_row_windows(slot, band, rk_ref, row, e_cap, lanes2, planes):
+    """Shared per-row window extraction for the blocked diagonal kernels
+    (count + emit): compute this R row's exact in-band window offset
+    (e = #{band < head}, clipped), then realign each ``planes`` scratch
+    ref (keys; the emit kernel adds the rid plane) to that offset by the
+    element-granular two-read + lane-roll merge.  Returns
+    ([(w0, w1)] per plane, overflow_increment).  Single-sourcing this
+    (and :func:`_diag_coverage8`) keeps the kernel family's correctness
+    proof in one place — three hand-unrolled copies drifted apart is the
+    failure mode the round-5 advisor review flagged."""
+    rrow = rk_ref[row:row + 1, :]
+    head = rrow[0, 0]
+    rvalid_s = (head != jnp.int32(_R_SENT_B)).astype(jnp.int32)
+    e_raw = jnp.sum((band < head).astype(jnp.int32))
+    ov = (e_raw > e_cap).astype(jnp.int32) * rvalid_s
+    e = jnp.clip(e_raw, 0, e_cap) * rvalid_s
+    base = e // 128
+    ksh = e - base * 128
+    sh_al = jax.lax.rem(128 - ksh, 128)
+    outs = []
+    for pref in planes:
+        a = pref[slot, pl.ds(base, 2), :]
+        b = pref[slot, pl.ds(base + 1, 2), :]
+        rol_a = pltpu.roll(a, sh_al, axis=1)
+        rol_b = pltpu.roll(b, sh_al, axis=1)
+        w = jnp.where(lanes2 < 128 - ksh, rol_a, rol_b)
+        outs.append((w[0:1, :], w[1:2, :]))
+    return outs, ov
+
+
+def _diag_coverage8(s0, s1, r8, K, lanes8):
+    """Shared monotone-envelope coverage check for an (8, 128) block:
+    violation increments for matches that fell outside the +-K band
+    (see the proof comment above _probe_diag_kernel)."""
+    rvalid = (r8 != jnp.int32(_R_SENT_B)).astype(jnp.int32)
+    c0 = pltpu.roll(s0, 127 - K, axis=1)            # s[(l+K+1) % 128]
+    c1 = pltpu.roll(s1, 127 - K, axis=1)
+    s_hi = jnp.where(lanes8 < 127 - K, c0, c1)      # s[l+K+1]
+    viol = (s_hi <= r8).astype(jnp.int32) * rvalid
+    c2 = pltpu.roll(s0, K + 1, axis=1)              # s[(l-K-1) % 128]
+    v2 = (c2 >= r8).astype(jnp.int32) * rvalid
+    return viol + jnp.where(lanes8 >= K + 1, v2, 0)
+
+
 def _probe_diag_kernel_blocked(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
                                out_ref, scratch, sems):
     """Sublane-blocked diagonal probe: same per-row exact window offsets
@@ -716,22 +760,12 @@ def _probe_diag_kernel_blocked(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
         s0_rows = []
         s1_rows = []
         for i in range(_ROWS):
-            rrow = rk_ref[j * _ROWS + i:j * _ROWS + i + 1, :]
-            head = rrow[0, 0]
-            rvalid_s = (head != jnp.int32(_R_SENT_B)).astype(jnp.int32)
-            e_raw = jnp.sum((band < head).astype(jnp.int32))
-            ov = ov + (e_raw > e_cap).astype(jnp.int32) * rvalid_s
-            e = jnp.clip(e_raw, 0, e_cap) * rvalid_s
-            base = e // 128
-            ksh = e - base * 128
-            a = scratch[slot, pl.ds(base, 2), :]
-            b = scratch[slot, pl.ds(base + 1, 2), :]
-            sh_al = jax.lax.rem(128 - ksh, 128)
-            rol_a = pltpu.roll(a, sh_al, axis=1)
-            rol_b = pltpu.roll(b, sh_al, axis=1)
-            swin = jnp.where(lanes2 < 128 - ksh, rol_a, rol_b)
-            s0_rows.append(swin[0:1, :])
-            s1_rows.append(swin[1:2, :])
+            (kw,), ov_i = _diag_row_windows(slot, band, rk_ref,
+                                            j * _ROWS + i, e_cap, lanes2,
+                                            [scratch])
+            ov = ov + ov_i
+            s0_rows.append(kw[0])
+            s1_rows.append(kw[1])
         s0 = jnp.concatenate(s0_rows, axis=0)           # (8, 128)
         s1 = jnp.concatenate(s1_rows, axis=0)
 
@@ -745,14 +779,7 @@ def _probe_diag_kernel_blocked(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
             acc = acc + (s0 == rolled).astype(jnp.int32)
         cnt8 = cnt8 + acc
 
-        rvalid = (r8 != jnp.int32(_R_SENT_B)).astype(jnp.int32)
-        c0 = pltpu.roll(s0, 127 - K, axis=1)            # s[(l+K+1) % 128]
-        c1 = pltpu.roll(s1, 127 - K, axis=1)
-        s_hi = jnp.where(lanes8 < 127 - K, c0, c1)      # s[l+K+1]
-        viol8 = viol8 + (s_hi <= r8).astype(jnp.int32) * rvalid
-        c2 = pltpu.roll(s0, K + 1, axis=1)              # s[(l-K-1) % 128]
-        v2 = (c2 >= r8).astype(jnp.int32) * rvalid
-        viol8 = viol8 + jnp.where(lanes8 >= K + 1, v2, 0)
+        viol8 = viol8 + _diag_coverage8(s0, s1, r8, K, lanes8)
 
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
@@ -790,11 +817,13 @@ def _diag_geometry(n_r: int, n_s: int, k_drift: int, rows_per_group: int,
 
 
 @functools.partial(jax.jit, static_argnames=("side", "n_r", "n_s", "k_drift",
-                                             "rows_per_group", "band_blocks"))
+                                             "rows_per_group", "band_blocks",
+                                             "budget"))
 def diagonal_prepad(sorted_keys: jnp.ndarray, side: str,
                     n_r: int, n_s: int,
                     k_drift: int = 16, rows_per_group: int = 32,
-                    band_blocks: int | None = None) -> jnp.ndarray:
+                    band_blocks: int | None = None,
+                    budget: int = 1024) -> jnp.ndarray:
     """Sentinel-pad ONE sorted side for repeated/paired diagonal probes.
 
     probe_count_diagonal pads internally (two full copies per call); when
@@ -802,9 +831,15 @@ def diagonal_prepad(sorted_keys: jnp.ndarray, side: str,
     HBM.  Pad each run once with this (``side`` 'r' or 's'; ``n_r``/``n_s``
     are the TRUE run sizes of both sides — the band geometry depends on
     their ratio) and pass ``prepadded=(n_r, n_s)`` to the probe.
+
+    ``budget`` must match the consuming kernel's geometry budget: the
+    count probes use the default 1024; :func:`join_materialize_diagonal`
+    uses 512 (its unrolled body carries ~2x the live temporaries), so
+    prepadding for the emit kernel must pass ``budget=512`` whenever
+    rows_per_group * k_drift > 512 (below that the geometries coincide).
     """
     _, _, _, _, n_r_pad, n_s_pad = _diag_geometry(
-        n_r, n_s, k_drift, rows_per_group, band_blocks)
+        n_r, n_s, k_drift, rows_per_group, band_blocks, budget=budget)
     if side == "r":
         assert sorted_keys.shape[0] == n_r
         return jnp.concatenate(
@@ -988,35 +1023,19 @@ def _emit_diag_kernel_blocked(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
 
     viol8 = jnp.zeros((_ROWS, 128), jnp.int32)
     ov = jnp.int32(0)
-    total = jnp.int32(0)
     for j in range(gr // _ROWS):
         r8 = rk_ref[pl.ds(j * _ROWS, _ROWS), :]         # (8, 128)
         s0_rows, s1_rows = [], []
         v0_rows, v1_rows = [], []
         for i in range(_ROWS):
-            rrow = rk_ref[j * _ROWS + i:j * _ROWS + i + 1, :]
-            head = rrow[0, 0]
-            rvalid_s = (head != jnp.int32(_R_SENT_B)).astype(jnp.int32)
-            e_raw = jnp.sum((band < head).astype(jnp.int32))
-            ov = ov + (e_raw > e_cap).astype(jnp.int32) * rvalid_s
-            e = jnp.clip(e_raw, 0, e_cap) * rvalid_s
-            base = e // 128
-            ksh = e - base * 128
-            sh_al = jax.lax.rem(128 - ksh, 128)
-            a = scr_k[slot, pl.ds(base, 2), :]
-            b = scr_k[slot, pl.ds(base + 1, 2), :]
-            rol_a = pltpu.roll(a, sh_al, axis=1)
-            rol_b = pltpu.roll(b, sh_al, axis=1)
-            swin = jnp.where(lanes2 < 128 - ksh, rol_a, rol_b)
-            s0_rows.append(swin[0:1, :])
-            s1_rows.append(swin[1:2, :])
-            va = scr_v[slot, pl.ds(base, 2), :]
-            vb = scr_v[slot, pl.ds(base + 1, 2), :]
-            rol_va = pltpu.roll(va, sh_al, axis=1)
-            rol_vb = pltpu.roll(vb, sh_al, axis=1)
-            vwin = jnp.where(lanes2 < 128 - ksh, rol_va, rol_vb)
-            v0_rows.append(vwin[0:1, :])
-            v1_rows.append(vwin[1:2, :])
+            (kw, vw), ov_i = _diag_row_windows(slot, band, rk_ref,
+                                               j * _ROWS + i, e_cap,
+                                               lanes2, [scr_k, scr_v])
+            ov = ov + ov_i
+            s0_rows.append(kw[0])
+            s1_rows.append(kw[1])
+            v0_rows.append(vw[0])
+            v1_rows.append(vw[1])
         s0 = jnp.concatenate(s0_rows, axis=0)           # (8, 128)
         s1 = jnp.concatenate(s1_rows, axis=0)
         v0 = jnp.concatenate(v0_rows, axis=0)
@@ -1047,22 +1066,15 @@ def _emit_diag_kernel_blocked(K, b8, gr, e_cap, wg_ref, rk_ref, s_ref,
 
         cnt_ref[pl.ds(j * _ROWS, _ROWS), :] = cnt8
         srid_ref[pl.ds(j * _ROWS, _ROWS), :] = rid8
-        total = total + jnp.sum(cnt8)
 
-        rvalid = (r8 != jnp.int32(_R_SENT_B)).astype(jnp.int32)
-        c0 = pltpu.roll(s0, 127 - K, axis=1)            # s[(l+K+1) % 128]
-        c1 = pltpu.roll(s1, 127 - K, axis=1)
-        s_hi = jnp.where(lanes8 < 127 - K, c0, c1)      # s[l+K+1]
-        viol8 = viol8 + (s_hi <= r8).astype(jnp.int32) * rvalid
-        c2 = pltpu.roll(s0, K + 1, axis=1)              # s[(l-K-1) % 128]
-        v2 = (c2 >= r8).astype(jnp.int32) * rvalid
-        viol8 = viol8 + jnp.where(lanes8 >= K + 1, v2, 0)
+        viol8 = viol8 + _diag_coverage8(s0, s1, r8, K, lanes8)
 
+    # lane 1 carries the violation total (lane 0 is unused: callers
+    # derive match totals from the cnt plane itself)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
     acc_ref[...] += \
-        jnp.where((iota_r == k) & (iota_l == 0), total, 0) \
-        + jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol8) + ov, 0)
+        jnp.where((iota_r == k) & (iota_l == 1), jnp.sum(viol8) + ov, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("k_drift", "rows_per_group",
@@ -1091,7 +1103,9 @@ def join_materialize_diagonal(r_sorted: jnp.ndarray,
     join_materialize.  Needs locally balanced sides like the count
     probe.  ``prepadded=(n_r, n_s)``: inputs already carry
     :func:`diagonal_prepad` padding (s_rids zero-padded to the same
-    n_s_pad).
+    n_s_pad) — the prepad call must pass ``budget=512`` (this kernel's
+    geometry budget; see diagonal_prepad's docstring) whenever
+    rows_per_group * k_drift > 512.
     """
     if interpret is None:
         interpret = pallas_interpret()

@@ -896,3 +896,39 @@ def test_outofcore_modulo_protocol():
         rk, np.empty(0, np.uint32), sk, np.empty(0, np.uint32),
         CFG, coarse_bits=5, spill="host", mode="diagonal")
     assert got == want
+
+
+def test_rows_ranged_runs_drift_retries_windowed():
+    """Auto emit selection must not be weaker than the windowed default:
+    a rank-drifted pair (S = R keys + 32 -> every match sits 32 ranks
+    off the diagonal, beyond k_drift) trips the diagonal emit's coverage
+    check; auto mode retries through the windowed kernel and stays
+    exact, while an explicit emit="diagonal" reports the trip."""
+    from radixjoin_tpu.engine.large import join_rows_keys_ranged_runs
+    n = 1 << 12
+    rng = np.random.default_rng(60)
+    rk = rng.permutation(n).astype(np.uint32)
+    sk = (rng.permutation(n).astype(np.uint32) + np.uint32(32))
+    rr = np.arange(n, dtype=np.uint32)
+
+    def rsrc(k, runs):
+        return jnp.asarray(rk), jnp.asarray(rr)
+
+    def ssrc(k, runs):
+        return jnp.asarray(sk), jnp.asarray(rr)
+
+    rows = []
+
+    def consume(k, rrs, srid, cnt):
+        c = np.asarray(cnt)
+        assert (c <= 1).all()
+        rows.append(int(c.sum()))
+
+    total, ok = join_rows_keys_ranged_runs(
+        rsrc, ssrc, 1, n, n, n + 32, consume, rows_per_group=8,
+        k_drift=8)
+    assert ok and total == n - 32 and sum(rows) == n - 32
+    total_d, ok_d = join_rows_keys_ranged_runs(
+        rsrc, ssrc, 1, n, n, n + 32, lambda *a: None, rows_per_group=8,
+        k_drift=8, emit="diagonal")
+    assert not ok_d
