@@ -691,6 +691,61 @@ def run_northstar_rows_config(n: int, reps: int, meas):
     return total
 
 
+def run_northstar64_rows_config(n: int, reps: int, meas,
+                                runs_shift: int = 26):
+    """MATERIALISING 64-bit join at scale: hi-range-partitioned (hi, lo,
+    rid) runs through dense-rank surrogates + the diagonal emit kernel
+    (engine/large.join64_rows_keys_ranged_runs).  Oracle: both sides
+    carry the same unique 64-bit key set per run (lo is a function of
+    the hi offset) in different orders with different rids — total rows
+    == n and each side's emitted rids sum to n(n-1)/2."""
+    from radixjoin_tpu.engine.large import join64_rows_keys_ranged_runs
+    runs = max(1, n >> runs_shift)
+    nr = n // runs
+    span = (1 << 32) // runs
+
+    def source(order_mult):
+        def src(k, n_runs):
+            i = jnp.arange(nr, dtype=jnp.uint32)
+            h = (i * jnp.uint32(order_mult)) & jnp.uint32(nr - 1)
+            hi = jnp.uint32(k * span) + h
+            lo = h * jnp.uint32(2654435761)
+            rid = jnp.uint32(k * nr) + i
+            return hi, lo, rid
+        return src
+
+    rsrc = source(2654435761 | 1)
+    ssrc = source(0x9E3779B1 ^ 0x40)
+
+    sums = [0, 0]
+
+    def consume(k, rrs, srid, cnt):
+        # mod-2^32 rid checksums: int64 is unavailable on device (x64
+        # off), so sum the uint32 images with deliberate wraparound —
+        # sums of per-run wrapped sums stay congruent mod 2^32
+        one = cnt == 1
+        sums[0] += int(jnp.sum(
+            jnp.where(one, rrs, 0).astype(jnp.uint32), dtype=jnp.uint32))
+        sums[1] += int(jnp.sum(
+            jnp.where(one, srid, 0).astype(jnp.uint32), dtype=jnp.uint32))
+
+    with meas.phase("COMPILE"):
+        total, ok = join64_rows_keys_ranged_runs(
+            rsrc, ssrc, runs, n, n, consume, sync=_sync)
+        assert ok and total == n, f"rows={total} ok={ok}"
+        want_sum = n * (n - 1) // 2
+        assert (sums[0] - want_sum) % (1 << 32) == 0 \
+            and (sums[1] - want_sum) % (1 << 32) == 0, sums
+    def drop(*a):
+        pass
+    with meas.phase("JOIN", tuples=2 * n * reps):
+        for _ in range(reps):
+            total, ok = join64_rows_keys_ranged_runs(
+                rsrc, ssrc, runs, n, n, drop, sync=_sync)
+            assert ok and total == n
+    return total
+
+
 def run_northstar_skew_config(n: int, reps: int, meas):
     """BASELINE.json: 1B x 1B Zipf(1.05) skew-aware single-host, in HBM.
 
@@ -743,6 +798,7 @@ def main(argv=None):
                              "pipeline", "pipeline-sf100", "northstar",
                              "northstar-skew",
                              "northstar64", "northstar64-fused",
+                             "northstar64-rows",
                              "northstar-steady", "northstar-steady-fused",
                              "northstar-rows"])
     ap.add_argument("--n", type=int, default=None,
@@ -774,6 +830,7 @@ def main(argv=None):
                 "northstar-skew": 30 if on_tpu else 16,
                 "northstar64": 29 if on_tpu else 15,
                 "northstar64-fused": 30 if on_tpu else 15,
+                "northstar64-rows": 28 if on_tpu else 14,
                 "northstar-steady": 30 if on_tpu else 16,
                 "northstar-steady-fused": 30 if on_tpu else 16,
                 "northstar-rows": 28 if on_tpu else 14,
@@ -828,6 +885,9 @@ def main(argv=None):
     elif args.config == "northstar64-fused":
         got = run_northstar64_fused_config(n, args.reps, meas)
         print(f"matches={got}", file=sys.stderr)
+    elif args.config == "northstar64-rows":
+        got = run_northstar64_rows_config(n, args.reps, meas)
+        print(f"rows={got}", file=sys.stderr)
     else:
         got = run_join_config(n, args.reps, skew=(args.config == "skew"),
                               meas=meas, cfg=cfg)

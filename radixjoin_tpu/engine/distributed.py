@@ -1433,39 +1433,13 @@ def make_distributed_join64(mesh: Mesh, n_r_shard: int, n_s_shard: int,
             # sides back in gid order and the proven single-plane
             # windowed emit kernel runs on the surrogates.  Pad groups
             # map onto the engine's standard R/S pad sentinels.
+            from ..ops.wide import dense_rank_surrogates
             rh_m = jnp.where(shuf_r.valid, rhv, jnp.uint32(0xFFFFFFFF))
             rl_m = jnp.where(shuf_r.valid, rlv, jnp.uint32(0xFFFFFFFF))
             sh_m = jnp.where(shuf_s.valid, shv, jnp.uint32(0xFFFFFFFF))
             sl_m = jnp.where(shuf_s.valid, slv, jnp.uint32(0xFFFFFFFE))
-            len_r = rh_m.shape[0]
-            hi_c = jnp.concatenate([rh_m, sh_m])
-            lo_c = jnp.concatenate([rl_m, sl_m])
-            side = jnp.concatenate(
-                [jnp.zeros((len_r,), jnp.int32),
-                 jnp.ones((sh_m.shape[0],), jnp.int32)])
-            rid_c = jnp.concatenate([rrv, srv]).astype(jnp.int32)
-            bh, bl, bside, brid = jax.lax.sort(
-                (bias_keys(hi_c), bias_keys(lo_c), side, rid_c),
-                num_keys=2, is_stable=False)
-            prev_h = jnp.concatenate([bh[:1] ^ 1, bh[:-1]])
-            prev_l = jnp.concatenate([bl[:1] ^ 1, bl[:-1]])
-            is_start = ((bh != prev_h) | (bl != prev_l)).at[0].set(True)
-            gid = (jnp.cumsum(is_start.astype(jnp.int32)) - 1)
-            sent_hi = jax.lax.bitcast_convert_type(
-                jnp.uint32(0xFFFFFFFF) ^ jnp.uint32(0x80000000), jnp.int32)
-            sent_lo_s = jax.lax.bitcast_convert_type(
-                jnp.uint32(0xFFFFFFFE) ^ jnp.uint32(0x80000000), jnp.int32)
-            is_rpad = (bh == sent_hi) & (bl == sent_hi)
-            is_spad = (bh == sent_hi) & (bl == sent_lo_s)
-            gkey = jnp.where(is_rpad, jnp.uint32(0xFFFFFFFF),
-                             jnp.where(is_spad, jnp.uint32(0xFFFFFFFE),
-                                       gid.astype(jnp.uint32)))
-            _, gk2, rid2 = jax.lax.sort((bside, gkey, brid), num_keys=2,
-                                        is_stable=False)
-            rbk = bias_keys(gk2[:len_r])
-            rrs = rid2[:len_r]
-            sbk = bias_keys(gk2[len_r:])
-            srs = rid2[len_r:]
+            rbk, rrs, sbk, srs = dense_rank_surrogates(
+                rh_m, rl_m, rrv, sh_m, sl_m, srv)
             out_srid, cnt, win_ok, multi = join_materialize_windowed(
                 rbk, sbk, srs,
                 rows_per_group=8 if pallas_interpret() else 32)

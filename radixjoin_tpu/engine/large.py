@@ -1036,6 +1036,79 @@ def join64_count_keys_runs(r_source, s_source,
     return total, True
 
 
+def join64_rows_keys_ranged_runs(r_source, s_source, runs: int,
+                                 n_r_total: int, n_s_total: int, consume,
+                                 window_rows: int = 4,
+                                 rows_per_group: int = 32,
+                                 k_drift: int = 8,
+                                 emit: str | None = None,
+                                 sync=None):
+    """MATERIALISING 64-bit join via hi-plane-range-partitioned runs —
+    the wide-key mirror of :func:`join_rows_keys_ranged_runs` (reference
+    probes emit pairs over uint64 keys end-to-end, kernels.cu:199-246 /
+    data/Tuple.h:15-22).
+
+    ``r_source``/``s_source``: ``fn(run, n_runs) -> (hi, lo, rid)``
+    uint32 planes whose run k holds only hi words in
+    [k*2^32/runs, (k+1)*2^32/runs) — verified on device per run (min/max
+    of the hi plane; no pre-sort is needed because the surrogate
+    construction sorts jointly anyway).  Each diagonal pair rank-encodes
+    both sides' (hi, lo) keys into join-consistent uint32 surrogates
+    (ops/wide.dense_rank_surrogates — the 64-bit distributed dense
+    rung's construction) and runs the proven single-plane emit kernels
+    on the surrogates: diagonal by default (surrogate ranks of matched
+    unique keys sit ON the diagonal), with the windowed retry on a
+    coverage trip exactly like the 32-bit wrapper.  Dense per-pair
+    output -> ``consume(k, r_rid_sorted, s_rid, cnt)`` on device.
+
+    Returns (total_rows: int, ok: bool); ok False when a range check or
+    an emit flag tripped (after the windowed retry in auto mode).
+    """
+    from ..ops.buildprobe import (join_materialize_diagonal,
+                                  join_materialize_windowed)
+    from ..ops.wide import dense_rank_surrogates
+    sync = sync or (lambda x: None)
+    assert n_r_total % runs == 0 and n_s_total % runs == 0
+    nr = n_r_total // runs
+    ns = n_s_total // runs
+    span = (1 << 32) // runs
+    auto = emit is None
+    if emit is None:
+        emit = "diagonal" if nr == ns else "windowed"
+    assert emit in ("diagonal", "windowed"), emit
+
+    total = 0
+    ok = True
+    for k in range(runs):
+        rh, rl, rr = r_source(k, runs)
+        sh, sl, sr = s_source(k, runs)
+        rin = ((jnp.min(rh) >= jnp.uint32(k * span))
+               & (jnp.max(rh) <= jnp.uint32((k + 1) * span - 1)))
+        sin = ((jnp.min(sh) >= jnp.uint32(k * span))
+               & (jnp.max(sh) <= jnp.uint32((k + 1) * span - 1)))
+        rbk, rrs, sbk, srs = dense_rank_surrogates(rh, rl, rr, sh, sl, sr)
+        sync(rbk)
+        if emit == "diagonal":
+            out_srid, cnt, win_ok, multi = join_materialize_diagonal(
+                rbk, sbk, srs, k_drift=k_drift,
+                rows_per_group=rows_per_group)
+            if auto and not bool(win_ok):
+                out_srid, cnt, win_ok, multi = join_materialize_windowed(
+                    rbk, sbk, srs, window_rows=window_rows,
+                    rows_per_group=rows_per_group)
+        else:
+            out_srid, cnt, win_ok, multi = join_materialize_windowed(
+                rbk, sbk, srs, window_rows=window_rows,
+                rows_per_group=rows_per_group)
+        pair_rows = jnp.sum(cnt)
+        sync(pair_rows)
+        ok = ok and bool(rin) and bool(sin) and bool(win_ok) \
+            and not bool(multi)
+        consume(k, rrs, out_srid, cnt)
+        total += int(pair_rows)
+    return total, ok
+
+
 _RELABEL_MULT = 0x9E3779B1            # odd: equality-preserving bijection
 _RELABEL_INV = pow(_RELABEL_MULT, -1, 1 << 32)
 # raw keys whose relabeled image collides with the two padding sentinels —

@@ -417,3 +417,51 @@ def join64_count_fast(r: Relation64, s: Relation64,
 
 def join64_count_checked(r: Relation64, s: Relation64) -> int:
     return int(join64_count(r, s))
+
+
+@jax.jit
+def dense_rank_surrogates(rh, rl, rr, sh, sl, sr):
+    """Joint dense-rank surrogates for 64-bit materialisation: rank-encode
+    the (hi, lo) keys of BOTH sides into one join-consistent uint32
+    surrogate (concat both sides, ONE 2-key sort, run-boundary cumsum —
+    equal surrogates <=> equal 64-bit keys), then a second sort splits
+    the sides back in surrogate order so the proven single-plane emit
+    kernels run directly on the surrogates.  The reference reaches the
+    same effect by carrying its 8 B compressed word through every kernel
+    (data/data.hpp:47); the surrogate is narrower than the wire format.
+
+    Inputs are uint32 planes + uint32 rids; pad rows must already carry
+    the engine's 64-bit sentinels — R pad (FFFFFFFF, FFFFFFFF), S pad
+    (FFFFFFFF, FFFFFFFE) — which map onto the standard 32-bit R/S pad
+    surrogates (so downstream emit kernels see ordinary padding).
+    Returns (rbk, rrs, sbk, srs): biased-int32 surrogate keys + int32
+    rids, each side key-sorted.
+    """
+    from .buildprobe import bias_keys as _bias
+    len_r = rh.shape[0]
+    hi_c = jnp.concatenate([rh, sh])
+    lo_c = jnp.concatenate([rl, sl])
+    side = jnp.concatenate(
+        [jnp.zeros((len_r,), jnp.int32),
+         jnp.ones((sh.shape[0],), jnp.int32)])
+    rid_c = jnp.concatenate([rr, sr]).astype(jnp.int32)
+    bh, bl, bside, brid = jax.lax.sort(
+        (_bias(hi_c), _bias(lo_c), side, rid_c),
+        num_keys=2, is_stable=False)
+    prev_h = jnp.concatenate([bh[:1] ^ 1, bh[:-1]])
+    prev_l = jnp.concatenate([bl[:1] ^ 1, bl[:-1]])
+    is_start = ((bh != prev_h) | (bl != prev_l)).at[0].set(True)
+    gid = (jnp.cumsum(is_start.astype(jnp.int32)) - 1)
+    sent_hi = jax.lax.bitcast_convert_type(
+        jnp.uint32(0xFFFFFFFF) ^ jnp.uint32(0x80000000), jnp.int32)
+    sent_lo_s = jax.lax.bitcast_convert_type(
+        jnp.uint32(0xFFFFFFFE) ^ jnp.uint32(0x80000000), jnp.int32)
+    is_rpad = (bh == sent_hi) & (bl == sent_hi)
+    is_spad = (bh == sent_hi) & (bl == sent_lo_s)
+    gkey = jnp.where(is_rpad, jnp.uint32(0xFFFFFFFF),
+                     jnp.where(is_spad, jnp.uint32(0xFFFFFFFE),
+                               gid.astype(jnp.uint32)))
+    _, gk2, rid2 = jax.lax.sort((bside, gkey, brid), num_keys=2,
+                                is_stable=False)
+    return (_bias(gk2[:len_r]), rid2[:len_r],
+            _bias(gk2[len_r:]), rid2[len_r:])

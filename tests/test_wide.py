@@ -546,3 +546,84 @@ def test_skew_hashed64_vs_oracle():
         src_of(r64), src_of(s64), 2, 2, n, n, n_ranges=4,
         cap_slack=2.0)
     assert ok and got == want, (got, want, ok)
+
+
+def test_join64_rows_ranged_runs_full_rowset():
+    import jax.numpy as jnp
+    """Large-N 64-bit materialising wrapper: hi-range-partitioned runs
+    through dense-rank surrogates + the diagonal emit kernel reconstruct
+    the exact (r_rid, s_rid) row set; a partial-overlap pair (surrogate
+    rank drift beyond +-K) transparently retries through the windowed
+    kernel in auto mode."""
+    from radixjoin_tpu.engine.large import join64_rows_keys_ranged_runs
+    runs = 2
+    nr = 1 << 11
+    n = nr * runs
+    span = (1 << 32) // runs
+    rng = np.random.default_rng(70)
+
+    def keys64(k, perm):
+        hi = (np.uint32(k * span)
+              + np.arange(nr, dtype=np.uint32)[perm])     # in-run span
+        lo = (np.arange(nr, dtype=np.uint32) * 7 + 3)[perm]
+        return hi, lo
+
+    perms_r = [rng.permutation(nr) for _ in range(runs)]
+    perms_s = [rng.permutation(nr) for _ in range(runs)]
+
+    def rsrc(k, n_runs):
+        hi, lo = keys64(k, perms_r[k])
+        rid = np.arange(k * nr, (k + 1) * nr, dtype=np.uint32)[perms_r[k]]
+        return jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(rid)
+
+    def ssrc(k, n_runs):
+        hi, lo = keys64(k, perms_s[k])
+        rid = np.arange(k * nr, (k + 1) * nr, dtype=np.uint32)[perms_s[k]]
+        return jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(rid)
+
+    # oracle: key64 -> (r_rid, s_rid); rids were permuted with the keys,
+    # and keys64(k, perm) assigns key i of run k to rid k*nr + i
+    pairs = set()
+
+    def consume(k, rrs, srid, cnt):
+        c = np.asarray(cnt)
+        assert (c <= 1).all()
+        m = c == 1
+        pairs.update(zip(np.asarray(rrs)[m].tolist(),
+                         np.asarray(srid)[m].tolist()))
+
+    total, ok = join64_rows_keys_ranged_runs(
+        rsrc, ssrc, runs, n, n, consume, rows_per_group=8, k_drift=8)
+    assert ok and total == n
+    # both sides label key i of run k with rid k*nr+i => identity pairs
+    assert pairs == {(i, i) for i in range(n)}
+
+    # rank drift: S's matched keys sit 32 surrogate ranks below their R
+    # positions (S carries 32 extra low keys per run) -> beyond +-K, the
+    # diagonal trips and auto mode retries windowed, staying exact
+    def ssrc_shift(k, n_runs):
+        idx = np.arange(nr, dtype=np.uint32)
+        hi = np.where(idx < nr - 32,
+                      np.uint32(k * span) + idx + np.uint32(32),
+                      np.uint32(k * span) + np.uint32(nr) + idx)
+        lo = np.where(idx < nr - 32, (idx + 32) * np.uint32(7) + 3,
+                      np.uint32(1))
+        rid = np.arange(k * nr, (k + 1) * nr, dtype=np.uint32)
+        p = perms_s[k]
+        return (jnp.asarray(hi[p]), jnp.asarray(lo[p]),
+                jnp.asarray(rid[p]))
+
+    got = []
+
+    def consume2(k, rrs, srid, cnt):
+        got.append(int(np.asarray(cnt).sum()))
+
+    total2, ok2 = join64_rows_keys_ranged_runs(
+        rsrc, ssrc_shift, runs, n, n, consume2, rows_per_group=8,
+        k_drift=8)
+    assert ok2 and total2 == sum(got) == n - 32 * runs
+    # explicit diagonal (no retry) must report the drift trip
+    total3, ok3 = join64_rows_keys_ranged_runs(
+        rsrc, ssrc_shift, runs, n, n, lambda *a: None, rows_per_group=8,
+        k_drift=8, emit="diagonal")
+    assert not ok3
