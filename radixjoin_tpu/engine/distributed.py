@@ -826,6 +826,7 @@ class DistributedRangedRows(NamedTuple):
     r_rids: jnp.ndarray       # uint32[D, B, cap_rng]
     s_rids: jnp.ndarray       # int32[D, B, cap_rng]
     counts: jnp.ndarray       # int32[D, B, cap_rng]
+    light: jnp.ndarray        # int32[D, B]  per-sub-range sum of counts
     range_ok: jnp.ndarray     # int32[D, B]
     ok: jnp.ndarray           # bool[D]   all-written + no send overflow
     heavy_keys: jnp.ndarray   # uint32[K] replicated candidates
@@ -845,8 +846,18 @@ def ranged_rows_ok(res: DistributedRangedRows) -> bool:
 
 def total_distributed_rows_ranged(res: DistributedRangedRows) -> int:
     """64-bit total join rows: dense light counts + heavy block products
-    (counts are exact even where range_ok tripped only on multi-match)."""
-    light = int(np.sum(_fetch(res.counts).astype(np.int64)))
+    (counts are exact even where range_ok tripped only on multi-match).
+
+    The light total reads the [D, B] ``light`` plane (per-sub-range
+    sums computed INSIDE the fori_loop body, where the counts are
+    already live) — fetching or re-reducing the full counts plane cost
+    ~25 s per call over the relay at 2^27/shard, and an eager post-hoc
+    device reduce can RESOURCE_EXHAUST a loaded chip.  The int32
+    partials are safe whenever ranged_rows_ok holds (counts are then
+    all <= 1, so a partial is bounded by the sub-range capacity); under
+    a multi-match trip they hold up to per-sub-range row counts of
+    2^31, far past the escalation threshold."""
+    light = int(np.sum(_fetch(res.light).astype(np.int64)))
     heavy = sum(len(r) * len(s)
                 for r, s in heavy_row_blocks(res).values())
     return light + heavy
@@ -1116,7 +1127,7 @@ def make_distributed_join_ranged_rows(mesh: Mesh, n_r_shard: int,
         gr = 8 if pallas_interpret() else rows_per_group
 
         def body(rg, carry):
-            rra, sra, cnta, oks = carry
+            rra, sra, cnta, lighta, oks = carry
             rk_a, rv_a, ok_r = assemble(flat_rk, flat_rv, qb_r, cap_cr,
                                         cap_sr, 0xFFFFFFFF, rg)
             sk_a, sv_a, ok_s = assemble(flat_sk, flat_sv, qb_s, cap_cs,
@@ -1142,15 +1153,19 @@ def make_distributed_join_ranged_rows(mesh: Mesh, n_r_shard: int,
                         sra, out_srid[None], rg, 0),
                     jax.lax.dynamic_update_slice_in_dim(
                         cnta, cnt[None], rg, 0),
+                    jax.lax.dynamic_update_index_in_dim(
+                        lighta, jnp.sum(cnt), rg, 0),
                     jax.lax.dynamic_update_index_in_dim(oks, ok_k, rg, 0))
 
-        rra, sra, cnta, roks = jax.lax.fori_loop(
+        rra, sra, cnta, lighta, roks = jax.lax.fori_loop(
             0, B, body,
             (jnp.zeros((B, cap_rng), jnp.uint32),
              jnp.zeros((B, cap_rng), jnp.int32),
              jnp.zeros((B, cap_rng), jnp.int32),
+             jnp.zeros((B,), jnp.int32),
              jnp.zeros((B,), jnp.int32)))
-        return (rra[None], sra[None], cnta[None], roks[None], ok[None],
+        return (rra[None], sra[None], cnta[None], lighta[None],
+                roks[None], ok[None],
                 hh.keys, hh.valid,
                 hr_ix[None], hr_rid[None], hr_cnt[None],
                 hs_ix[None], hs_rid[None], hs_cnt[None])
@@ -1159,7 +1174,7 @@ def make_distributed_join_ranged_rows(mesh: Mesh, n_r_shard: int,
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis),) * 4,
-        out_specs=(P(axis),) * 5 + (P(), P()) + (P(axis),) * 6,
+        out_specs=(P(axis),) * 6 + (P(), P()) + (P(axis),) * 6,
         check_vma=False)
 
     @jax.jit
@@ -1245,24 +1260,36 @@ def heavy_row_blocks(res: DistributedJoinRowsDenseSkew) -> dict:
     ks = _fetch(res.heavy_keys)
     kv = _fetch(res.heavy_valid)
     n_dev = res.hr_cnt.shape[0]
-    hr_ix = _fetch(res.hr_ix).reshape(n_dev, -1)
-    hr_rid = _fetch(res.hr_rid).reshape(n_dev, -1)
     hr_cnt = _fetch(res.hr_cnt)
-    hs_ix = _fetch(res.hs_ix).reshape(n_dev, -1)
-    hs_rid = _fetch(res.hs_rid).reshape(n_dev, -1)
     hs_cnt = _fetch(res.hs_cnt)
 
-    def side(ix2d, rid2d, cnts):
+    def side(ix_flat, rid_flat, cnts):
+        # Heavy rows sort to the FRONT of the per-device plane (the
+        # compaction sort keys non-heavy rows 0x7FFFFFFF), so only the
+        # counted prefix needs to reach the host.  Prefix pulls matter:
+        # the planes are statically full-shard-sized, and fetching them
+        # whole cost ~20 s/side/call over the relay at 2^27/shard.
+        # Multi-process arrays are not addressable per-slice from one
+        # process — fall back to the allgather fetch there (DCN-local).
+        if getattr(ix_flat, "is_fully_addressable", True):
+            ix2d = ix_flat.reshape(n_dev, -1)
+            rid2d = rid_flat.reshape(n_dev, -1)
+            rows = [(np.asarray(ix2d[d, :int(cnts[d])]),
+                     np.asarray(rid2d[d, :int(cnts[d])]))
+                    for d in range(n_dev) if int(cnts[d])]
+        else:
+            ix_all = _fetch(ix_flat).reshape(n_dev, -1)
+            rid_all = _fetch(rid_flat).reshape(n_dev, -1)
+            rows = [(ix_all[d][:int(cnts[d])], rid_all[d][:int(cnts[d])])
+                    for d in range(n_dev) if int(cnts[d])]
         per_key = {}
-        for d in range(n_dev):
-            ix = ix2d[d][:cnts[d]]
-            rid = rid2d[d][:cnts[d]]
+        for ix, rid in rows:
             for i in np.unique(ix):
                 per_key.setdefault(int(i), []).append(rid[ix == i])
         return {i: np.concatenate(v) for i, v in per_key.items()}
 
-    r_side = side(hr_ix, hr_rid, hr_cnt)
-    s_side = side(hs_ix, hs_rid, hs_cnt)
+    r_side = side(res.hr_ix, res.hr_rid, hr_cnt)
+    s_side = side(res.hs_ix, res.hs_rid, hs_cnt)
     out = {}
     for i in set(r_side) | set(s_side):
         if not kv[i]:

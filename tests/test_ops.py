@@ -769,3 +769,36 @@ def test_join_materialize_diagonal_matches_windowed():
     _, _, ok_hot, _ = bp.join_materialize_diagonal(
         rb, sb, ss, k_drift=8, rows_per_group=16)
     assert not bool(ok_hot)
+
+
+def test_join_materialize_diagonal_prepadded_budget():
+    """Prepad interop for the emit kernel: diagonal_prepad must be called
+    with the emit kernel's geometry budget (512) — the count kernel's
+    default budget pads differently once rows_per_group * k_drift
+    exceeds 512, which the shape assert rejects."""
+    rng = np.random.default_rng(37)
+    n = 2048
+    rk = rng.permutation(n).astype(np.uint32)
+    sk = rng.permutation(n).astype(np.uint32)
+    sr = np.arange(n, dtype=np.uint32)
+    rbk, = jax.lax.sort((bp.bias_keys(jnp.asarray(rk)),), num_keys=1)
+    sbk, srs = jax.lax.sort(
+        (bp.bias_keys(jnp.asarray(sk), None, 0xFFFFFFFE),
+         jnp.asarray(sr).astype(jnp.int32)), num_keys=1)
+    kw = dict(k_drift=8, rows_per_group=16)
+    rp = bp.diagonal_prepad(rbk, "r", n, n, budget=512, **kw)
+    sp = bp.diagonal_prepad(sbk, "s", n, n, budget=512, **kw)
+    n_s_pad = sp.shape[0]
+    srp = jnp.concatenate(
+        [srs, jnp.zeros((n_s_pad - n,), jnp.int32)])
+    srid_p, cnt_p, ok_p, multi_p = bp.join_materialize_diagonal(
+        rp, sp, srp, prepadded=(n, n), **kw)
+    srid_u, cnt_u, ok_u, _ = bp.join_materialize_diagonal(
+        rbk, sbk, srs, **kw)
+    assert bool(ok_p) and bool(ok_u) and not bool(multi_p)
+    n_r_true = rbk.shape[0]
+    np.testing.assert_array_equal(np.asarray(cnt_p)[:n_r_true],
+                                  np.asarray(cnt_u))
+    np.testing.assert_array_equal(np.asarray(srid_p)[:n_r_true],
+                                  np.asarray(srid_u))
+    assert int(np.asarray(cnt_p)[n_r_true:].sum()) == 0
